@@ -1,0 +1,106 @@
+"""Public CsrMV / CsrMM API (reference: DeviceSpmv::CsrMV,
+cub/device/device_spmv.cuh:129-164).
+
+Two-phase contract (SURVEY.md §3.3): build a `SpmvPlan` once with
+`make_plan(...)`, then call `csrmv(plan, ...)` many times — the plan is the
+static jit key, so repeat calls hit the compilation cache (the TPU analog of
+the reference's query/allocate/run + caching allocator).
+
+Unlike the reference device API (alpha=1, beta=0 hardcoded at
+device_spmv.cuh:155-156), the full ``y = alpha*A*x + beta*y_in`` epilogue is
+supported on every backend, matching the CPU driver's gold semantics.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from merge_spmv_tpu.ops.plan import SpmvPlan, make_plan
+from merge_spmv_tpu.ops import csrmv_xla as _xla
+
+__all__ = ["csrmv", "csrmm", "csrmv_fn", "make_plan", "SpmvPlan"]
+
+
+@functools.lru_cache(maxsize=256)
+def _jitted_csrmv(plan: SpmvPlan, has_y_in: bool, interpret: bool):
+    """Compile (and cache) the csrmv executable for a plan."""
+    if plan.backend == "pallas":
+        from merge_spmv_tpu.ops import csrmv_pallas as _pallas
+        kernel = functools.partial(_pallas.csrmv_pallas, plan,
+                                   interpret=interpret)
+    else:
+        kernel = None
+
+    def run(values, row_end_offsets, col_indices, x, y_in, alpha, beta):
+        if kernel is not None:
+            return kernel(values, row_end_offsets, col_indices, x,
+                          y_in=y_in, alpha=alpha, beta=beta)
+        return _xla.csrmv_xla(values, row_end_offsets, col_indices, x,
+                              y_in=y_in, alpha=alpha, beta=beta)
+
+    if has_y_in:
+        fn = lambda v, re, ci, x, y_in, a, b: run(v, re, ci, x, y_in, a, b)
+    else:
+        fn = lambda v, re, ci, x, a, b: run(v, re, ci, x, None, a, b)
+    return jax.jit(fn)
+
+
+def csrmv(plan: SpmvPlan, values, row_end_offsets, col_indices, x,
+          y_in=None, alpha=1.0, beta=0.0, interpret: bool = False):
+    """y = alpha * A @ x + beta * y_in.
+
+    Parameters mirror DeviceSpmv::CsrMV (device_spmv.cuh:129-164), with
+    `row_end_offsets` = row_offsets[1:] (merge list A).
+    """
+    dtype = jnp.dtype(plan.dtype)
+    alpha = jnp.asarray(alpha, dtype=dtype)
+    beta = jnp.asarray(beta, dtype=dtype)
+    if y_in is None:
+        fn = _jitted_csrmv(plan, False, interpret)
+        return fn(values, row_end_offsets, col_indices, x, alpha, beta)
+    fn = _jitted_csrmv(plan, True, interpret)
+    return fn(values, row_end_offsets, col_indices, x, y_in, alpha, beta)
+
+
+def csrmv_fn(plan: SpmvPlan, interpret: bool = False):
+    """Return the raw jitted function for benchmarking loops."""
+    return _jitted_csrmv(plan, False, interpret)
+
+
+@functools.lru_cache(maxsize=256)
+def _jitted_csrmm(plan: SpmvPlan, has_y_in: bool, interpret: bool):
+    if plan.backend == "pallas":
+        from merge_spmv_tpu.ops import csrmv_pallas as _pallas
+        kernel = functools.partial(_pallas.csrmm_pallas, plan,
+                                   interpret=interpret)
+    else:
+        kernel = None
+
+    def run(values, row_end_offsets, col_indices, X, Y_in, alpha, beta):
+        if kernel is not None:
+            return kernel(values, row_end_offsets, col_indices, X,
+                          Y_in=Y_in, alpha=alpha, beta=beta)
+        return _xla.csrmm_xla(values, row_end_offsets, col_indices, X,
+                              Y_in=Y_in, alpha=alpha, beta=beta)
+
+    if has_y_in:
+        fn = lambda v, re, ci, X, Y, a, b: run(v, re, ci, X, Y, a, b)
+    else:
+        fn = lambda v, re, ci, X, a, b: run(v, re, ci, X, None, a, b)
+    return jax.jit(fn)
+
+
+def csrmm(plan: SpmvPlan, values, row_end_offsets, col_indices, X,
+          Y_in=None, alpha=1.0, beta=0.0, interpret: bool = False):
+    """Y = alpha * A @ X + beta * Y_in  (SpMM; X is [num_cols, k])."""
+    dtype = jnp.dtype(plan.dtype)
+    alpha = jnp.asarray(alpha, dtype=dtype)
+    beta = jnp.asarray(beta, dtype=dtype)
+    if Y_in is None:
+        fn = _jitted_csrmm(plan, False, interpret)
+        return fn(values, row_end_offsets, col_indices, X, alpha, beta)
+    fn = _jitted_csrmm(plan, True, interpret)
+    return fn(values, row_end_offsets, col_indices, X, Y_in, alpha, beta)

@@ -1,0 +1,142 @@
+"""Two-phase plan contract and tuning-policy selection.
+
+The reference exposes a query/allocate/run lifecycle (DeviceSpmv::CsrMV with
+``d_temp_storage == NULL`` returns the scratch size; see SURVEY.md §3.3) and
+selects per-SM tuning policies at compile time
+(dispatch_spmv_orig.cuh:262-445).  The TPU-native equivalents:
+
+* scratch planning is the XLA compiler's job — the plan instead pins the
+  *shape-static* facts (tile size, tile count, backend choice) so repeat
+  calls hit the jit cache (the analog of the reference's caching allocator
+  making repeat dispatches cheap, util_allocator.cuh:101);
+* the policy ladder keys on dtype + VMEM budget + matrix shape instead of SM
+  architecture: TILE_ITEMS is the single knob (merge items per Pallas grid
+  step), chosen so the fixed per-tile footprint (values, columns, row-ends,
+  products) plus a resident x fits the ~16 MB/core VMEM.
+
+Plans are hashable and comparable, suitable as static jit arguments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from merge_spmv_tpu.ops.merge_path import num_merge_tiles
+
+__all__ = ["SpmvPlan", "make_plan", "VMEM_BYTES_PER_CORE"]
+
+# Usable VMEM per TensorCore (128 KiB reserved for the compiler).
+VMEM_BYTES_PER_CORE = 16 * 1024 * 1024
+
+# Default merge items per tile, keyed by value dtype (the policy ladder).
+# Larger tiles amortize per-step overhead; smaller tiles cut the VMEM
+# footprint and the padding waste on small matrices.
+_DEFAULT_TILE_ITEMS = {
+    "float32": 16384,
+    "bfloat16": 16384,
+    "float64": 8192,
+}
+
+
+def _dtype_name(dtype) -> str:
+    return np.dtype(dtype).name if not hasattr(dtype, "name") else dtype.name
+
+
+@dataclasses.dataclass(frozen=True)
+class SpmvPlan:
+    """Shape-static execution plan for CsrMV / CsrMM.
+
+    Frozen + hashable: pass as a static argument to jitted entry points.
+    """
+    num_rows: int
+    num_cols: int
+    num_nonzeros: int
+    dtype: str                 # value dtype name ("float32", ...)
+    tile_items: int            # merge items per Pallas grid step
+    num_tiles: int             # ceil((rows + nnz) / tile_items)
+    backend: str               # "pallas" | "xla"
+    x_in_vmem: bool            # whole x resident in VMEM (gather locality)
+    num_rhs: int = 1           # k for SpMM (1 = SpMV)
+
+    @property
+    def num_merge_items(self) -> int:
+        return self.num_rows + self.num_nonzeros
+
+    def flops(self) -> int:
+        """2*nnz*k multiply-adds (cpu_spmv.cpp:511 convention)."""
+        return 2 * self.num_nonzeros * self.num_rhs
+
+    def bytes_accessed(self) -> int:
+        """The reference roofline byte model (cpu_spmv.cpp:508-509):
+        per nonzero one value + one column index + one gathered x element;
+        per row one offset + one y write.  RHS-scaled for SpMM."""
+        vs = np.dtype(self.dtype).itemsize
+        os_ = 4  # OffsetT = int32
+        return (self.num_nonzeros * (vs * (1 + self.num_rhs) + os_)
+                + self.num_rows * (os_ + vs * self.num_rhs))
+
+    def describe(self) -> str:
+        return (f"SpmvPlan({self.num_rows}x{self.num_cols}, nnz="
+                f"{self.num_nonzeros}, {self.dtype}, backend={self.backend}, "
+                f"tile_items={self.tile_items}, tiles={self.num_tiles}, "
+                f"x_in_vmem={self.x_in_vmem}, k={self.num_rhs})")
+
+
+def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
+              dtype="float32", tile_items: Optional[int] = None,
+              backend: str = "auto", num_rhs: int = 1,
+              vmem_bytes: int = VMEM_BYTES_PER_CORE) -> SpmvPlan:
+    """Build an execution plan (phase 1 of the two-phase contract).
+
+    backend="auto" picks the Pallas merge kernel when the platform supports
+    it and x fits in VMEM, else the XLA segment-sum formulation.  The 1-wide
+    degenerate case (num_cols == 1, dispatch_spmv_orig.cuh:566-593) and
+    fp64 (not natively supported by the TPU vector units) also route to XLA.
+    """
+    dname = _dtype_name(np.dtype(dtype))
+    vs = np.dtype(dname).itemsize
+
+    # x residency: whole x (all RHS columns) must fit alongside the tile
+    # working set.  Budget x at half of VMEM.
+    x_bytes = num_cols * vs * num_rhs
+    x_in_vmem = x_bytes <= vmem_bytes // 2
+
+    if tile_items is None:
+        tile_items = _DEFAULT_TILE_ITEMS.get(dname, 8192)
+        # Shrink tiles if the matrix is small: no point in one giant tile.
+        total = num_rows + num_nonzeros
+        while tile_items > 1024 and tile_items >= 4 * total:
+            tile_items //= 2
+
+    resolved = backend
+    if backend == "auto":
+        import jax
+        platform = jax.default_backend()
+        pallas_ok = (
+            platform == "tpu"
+            and dname in ("float32", "bfloat16")
+            and x_in_vmem
+            and num_cols > 1
+            and num_nonzeros > 0
+        )
+        if pallas_ok:
+            try:
+                from merge_spmv_tpu.ops import csrmv_pallas  # noqa: F401
+            except ImportError:
+                pallas_ok = False
+        resolved = "pallas" if pallas_ok else "xla"
+
+    return SpmvPlan(
+        num_rows=int(num_rows),
+        num_cols=int(num_cols),
+        num_nonzeros=int(num_nonzeros),
+        dtype=dname,
+        tile_items=int(tile_items),
+        num_tiles=num_merge_tiles(num_rows, num_nonzeros, tile_items),
+        backend=resolved,
+        x_in_vmem=bool(x_in_vmem),
+        num_rhs=int(num_rhs),
+    )

@@ -1,0 +1,72 @@
+"""Timing harness (parity: utils.h:528-658 + the drivers' discipline).
+
+The reference measures a backend as: 1 verification pass, 3 cache-warming
+passes, then N timed iterations where N adaptively targets 16 G nonzeros of
+total work (cpu_spmv.cpp:611-616; GPU cap 50,000, gpu_spmv.cu:491-493).  On
+TPU the same discipline applies with two twists: the first call pays XLA
+compilation (excluded via warmup) and timing must block on device completion
+(`block_until_ready`, the analog of cudaEventSynchronize).
+"""
+
+from __future__ import annotations
+
+import time
+
+__all__ = ["Timer", "adaptive_timing_iterations", "time_device_fn"]
+
+
+class Timer:
+    """Wall-clock timer with the CpuTimer Start/Stop/ElapsedMillis surface."""
+
+    def __init__(self):
+        self._start = None
+        self._elapsed = 0.0
+
+    def start(self):
+        self._start = time.perf_counter()
+        return self
+
+    def stop(self):
+        self._elapsed = time.perf_counter() - self._start
+        return self
+
+    def elapsed_millis(self) -> float:
+        return self._elapsed * 1e3
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+
+
+def adaptive_timing_iterations(num_nonzeros: int, max_iterations: int = 50000,
+                               min_iterations: int = 100,
+                               target_nnz: int = 16 << 30) -> int:
+    """Iteration count targeting `target_nnz` total nonzeros processed
+    (cpu_spmv.cpp:611-616 with the GPU driver's 50k cap)."""
+    if num_nonzeros <= 0:
+        return min_iterations
+    return int(min(max_iterations, max(min_iterations, target_nnz // num_nonzeros)))
+
+
+def time_device_fn(fn, *args, iterations: int = 100, warmup: int = 3):
+    """Time a device function: returns average milliseconds per call.
+
+    `fn(*args)` must return one or more jax arrays; completion is awaited via
+    block_until_ready on the last output (the analog of GpuTimer's
+    cudaEvent pair around the launch loop, utils.h:624-658).
+    """
+    import jax
+
+    out = None
+    for _ in range(max(1, warmup)):
+        out = fn(*args)
+    jax.block_until_ready(out)
+
+    t = Timer().start()
+    for _ in range(iterations):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t.stop()
+    return t.elapsed_millis() / iterations

@@ -1,0 +1,88 @@
+"""Differential tests of the XLA segment-sum backend against the gold model
+(the pattern of cpu_spmv.cpp:380-387: verify before timing)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from merge_spmv_tpu.formats.coo import CooMatrix
+from merge_spmv_tpu.formats.csr import CsrMatrix
+from merge_spmv_tpu.ops.csrmv import csrmv, csrmm, make_plan
+from merge_spmv_tpu.utils.compare import assert_allclose_ulp
+
+
+def _device_arrays(csr, dtype):
+    return (jnp.asarray(csr.values.astype(dtype)),
+            jnp.asarray(csr.row_end_offsets),
+            jnp.asarray(csr.col_indices))
+
+
+MATRICES = {
+    "grid2d": lambda: CooMatrix.grid2d(12),
+    "grid3d": lambda: CooMatrix.grid3d(5),
+    "wheel": lambda: CooMatrix.wheel(200),
+    "dense": lambda: CooMatrix.dense(16, 24),
+    "powerlaw": lambda: CooMatrix.random_powerlaw(300, 250, 3000, seed=4),
+    "empty_rows": lambda: CooMatrix(7, 5, rows=[2, 2, 5], cols=[0, 4, 3],
+                                    vals=[1., 2., 3.]),
+    "duplicates": lambda: CooMatrix(3, 3, rows=[0, 0, 0], cols=[1, 1, 1],
+                                    vals=[1., 2., 3.]),
+    "one_col": lambda: CooMatrix(6, 1, rows=[0, 2, 2, 5], cols=[0, 0, 0, 0],
+                                 vals=[1., 2., 3., 4.]),
+}
+
+
+@pytest.mark.parametrize("name", sorted(MATRICES))
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_csrmv_xla_vs_gold(name, dtype, rng):
+    if dtype == np.float64:
+        import jax
+        if not jax.config.jax_enable_x64:
+            pytest.skip("x64 disabled")
+    csr = CsrMatrix.from_coo(MATRICES[name]())
+    x = rng.uniform(-1, 1, csr.num_cols).astype(dtype)
+    want = csr.astype(dtype).spmv_gold(x)
+    plan = make_plan(csr.num_rows, csr.num_cols, csr.num_nonzeros,
+                     dtype=dtype, backend="xla")
+    got = csrmv(plan, *_device_arrays(csr, dtype), jnp.asarray(x))
+    assert_allclose_ulp(np.asarray(got), want, context=name)
+
+
+def test_alpha_beta_epilogue(rng):
+    csr = CsrMatrix.from_coo(MATRICES["powerlaw"]())
+    x = rng.uniform(-1, 1, csr.num_cols).astype(np.float32)
+    y_in = rng.uniform(-1, 1, csr.num_rows).astype(np.float32)
+    want = csr.astype(np.float32).spmv_gold(x, y_in, alpha=2.5, beta=-0.5)
+    plan = make_plan(csr.num_rows, csr.num_cols, csr.num_nonzeros,
+                     dtype=np.float32, backend="xla")
+    got = csrmv(plan, *_device_arrays(csr, np.float32), jnp.asarray(x),
+                y_in=jnp.asarray(y_in), alpha=2.5, beta=-0.5)
+    assert_allclose_ulp(np.asarray(got), want, context="alpha_beta")
+
+
+def test_csrmm_vs_gold(rng):
+    csr = CsrMatrix.from_coo(MATRICES["powerlaw"]())
+    X = rng.uniform(-1, 1, (csr.num_cols, 8)).astype(np.float32)
+    want = csr.astype(np.float32).spmm_gold(X)
+    plan = make_plan(csr.num_rows, csr.num_cols, csr.num_nonzeros,
+                     dtype=np.float32, backend="xla", num_rhs=8)
+    got = csrmm(plan, *_device_arrays(csr, np.float32), jnp.asarray(X))
+    assert_allclose_ulp(np.asarray(got), want, context="csrmm")
+
+
+def test_plan_is_cached_jit_key():
+    csr = CsrMatrix.from_coo(MATRICES["grid2d"]())
+    p1 = make_plan(csr.num_rows, csr.num_cols, csr.num_nonzeros,
+                   dtype=np.float32, backend="xla")
+    p2 = make_plan(csr.num_rows, csr.num_cols, csr.num_nonzeros,
+                   dtype=np.float32, backend="xla")
+    assert p1 == p2 and hash(p1) == hash(p2)
+
+
+def test_empty_matrix():
+    csr = CsrMatrix(3, 3, [0, 0, 0, 0], [], np.zeros(0, np.float32))
+    plan = make_plan(3, 3, 0, dtype=np.float32, backend="xla")
+    got = csrmv(plan, jnp.zeros(0, jnp.float32),
+                jnp.asarray(csr.row_end_offsets),
+                jnp.zeros(0, jnp.int32), jnp.ones(3, jnp.float32))
+    np.testing.assert_array_equal(np.asarray(got), np.zeros(3))
