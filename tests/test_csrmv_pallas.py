@@ -1,0 +1,100 @@
+"""Differential tests of the merge-path Pallas kernel against the gold model.
+
+Runs in interpret mode on CPU (exact same kernel code path as TPU modulo
+Mosaic lowering); set MERGE_SPMV_TEST_TPU=1 to run compiled on real chips.
+Covers the merge-path corner cases: row-spanning tiles, empty rows, the
+wheel skew adversary, duplicates, multi-chunk columns, alpha/beta.
+"""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from merge_spmv_tpu.formats.coo import CooMatrix
+from merge_spmv_tpu.formats.csr import CsrMatrix
+from merge_spmv_tpu.ops.csrmv_pallas import csrmv_pallas
+from merge_spmv_tpu.ops.plan import make_plan
+from merge_spmv_tpu.utils.compare import assert_allclose_ulp
+
+INTERPRET = not os.environ.get("MERGE_SPMV_TEST_TPU")
+
+
+def _run(coo, tile_items=1024, alpha=1.0, beta=0.0, with_y_in=False, seed=0,
+         signed=False):
+    csr = CsrMatrix.from_coo(coo)
+    rs = np.random.RandomState(seed)
+    # Positive-bounded data for ULP comparisons (the reference verifies with
+    # x = ones, utils.h:721-742 — signed sums near zero amplify ULP distance
+    # beyond what any reduction order could satisfy).
+    lo = -1.0 if signed else 0.1
+    csr.values = rs.uniform(lo, 1, csr.num_nonzeros)
+    x = rs.uniform(lo, 1, csr.num_cols).astype(np.float32)
+    y_in = rs.uniform(lo, 1, csr.num_rows).astype(np.float32) if with_y_in else None
+    plan = make_plan(csr.num_rows, csr.num_cols, csr.num_nonzeros,
+                     dtype=np.float32, tile_items=tile_items,
+                     backend="pallas")
+    v, re_, ci = csr.to_device(dtype=np.float32)
+    y = csrmv_pallas(plan, v, re_, ci, jnp.asarray(x),
+                     y_in=None if y_in is None else jnp.asarray(y_in),
+                     alpha=alpha, beta=beta, interpret=INTERPRET)
+    gold = csr.astype(np.float32).spmv_gold(x, y_in, alpha=alpha, beta=beta)
+    return np.asarray(y), gold
+
+
+CASES = {
+    "grid2d_small": lambda: CooMatrix.grid2d(6),
+    "grid2d": lambda: CooMatrix.grid2d(20),
+    "wheel_single_tile": lambda: CooMatrix.wheel(100),
+    "wheel_hub_spans_tiles": lambda: CooMatrix.wheel(3000),
+    "empty_rows": lambda: CooMatrix(900, 64, rows=[5, 5, 850],
+                                    cols=[0, 63, 3], vals=[1., 2., 3.]),
+    "leading_trailing_empty": lambda: CooMatrix(2100, 32, rows=[1050],
+                                                cols=[7], vals=[2.0]),
+    "duplicates": lambda: CooMatrix(4, 4, rows=[1, 1, 1], cols=[2, 2, 2],
+                                    vals=[1., 2., 3.]),
+    "powerlaw": lambda: CooMatrix.random_powerlaw(800, 700, 6000, seed=3),
+    "dense_rows": lambda: CooMatrix.dense(50, 60),
+    "multi_chunk_cols": lambda: CooMatrix.random_uniform(300, 6000, 8, seed=9),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_pallas_vs_gold(name):
+    got, want = _run(CASES[name]())
+    assert_allclose_ulp(got, want, context=name)
+
+
+def test_tile_boundary_exact_row_end():
+    # a row ending exactly on a tile boundary must leave carry == 0
+    # (merge search consumes the row-end before the next tile)
+    coo = CooMatrix.random_uniform(256, 128, 8, seed=1)  # 2048 nnz: aligned rows
+    got, want = _run(coo, tile_items=1024)
+    assert_allclose_ulp(got, want, context="tile_boundary")
+
+
+def test_alpha_beta():
+    got, want = _run(CASES["powerlaw"](), alpha=2.5, beta=-0.75,
+                     with_y_in=True)
+    assert_allclose_ulp(got, want, context="alpha_beta")
+
+
+def test_larger_tile_items():
+    got, want = _run(CASES["wheel_hub_spans_tiles"](), tile_items=2048)
+    assert_allclose_ulp(got, want, context="tile2048")
+
+
+def test_signed_values_rtol():
+    # signed data with cancellation: relative tolerance instead of ULP
+    got, want = _run(CASES["powerlaw"](), signed=True)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-5)
+
+
+def test_auto_plan_routes_pallas_on_tpu():
+    plan = make_plan(1000, 1000, 5000, dtype=np.float32, backend="auto")
+    if jax.default_backend() == "tpu":
+        assert plan.backend == "pallas"
+    else:
+        assert plan.backend == "xla"
