@@ -1,0 +1,258 @@
+"""Benchmark driver — the TPU analog of the reference drivers
+(cpu_spmv.cpp:537-747, gpu_spmv.cu:484-741).
+
+Per run: ingest/generate → CSR + stats + histogram → gold SpMV →
+for each backend: 1 verification pass (PASS/FAIL vs gold, length-scaled
+ULP), warmup, timed iterations, perf line with GFLOP/s + effective GB/s +
+% of chip peak.  `--quiet` switches to CSV fragments for corpus sweeps
+(eval script analog).
+
+Backends (the baseline roster mirrors MKL/cuSPARSE in the reference):
+  merge   — the Pallas merge-path kernel (this framework's product)
+  xla     — XLA segment-sum formulation (device library baseline)
+  scipy   — SciPy csr_matrix @ x on host CPU (MKL-analog baseline)
+  torch   — torch.sparse.csr on host CPU (second vendor baseline)
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from merge_spmv_tpu.formats.coo import CooMatrix
+from merge_spmv_tpu.formats.csr import CsrMatrix
+from merge_spmv_tpu.utils.compare import compare_results
+from merge_spmv_tpu.utils.timers import (Timer, adaptive_timing_iterations,
+                                         chained_rate_ms)
+from merge_spmv_tpu.utils.device import device_info, peak_hbm_bandwidth
+
+__all__ = ["build_matrix", "run_benchmark", "display_perf", "BackendResult"]
+
+
+class BackendResult:
+    def __init__(self, name, avg_ms, setup_ms, verified, error_index=None):
+        self.name = name
+        self.avg_ms = avg_ms
+        self.setup_ms = setup_ms
+        self.verified = verified
+        self.error_index = error_index
+
+
+def build_matrix(args) -> CsrMatrix:
+    """Matrix selection mirroring RunTests (cpu_spmv.cpp:550-593)."""
+    if args.get("mtx"):
+        coo = CooMatrix.from_market(args["mtx"], default_value=1.0)
+        if coo.num_rows == 1 or coo.num_cols == 1 or coo.num_nonzeros == 1:
+            if not args.get("quiet"):
+                print("Trivial dataset")
+            sys.exit(0)
+        label = args["mtx"]
+    elif args.get("grid2d"):
+        coo = CooMatrix.grid2d(args["grid2d"], self_loop=False)
+        label = f"grid2d_{args['grid2d']}"
+    elif args.get("grid3d"):
+        coo = CooMatrix.grid3d(args["grid3d"], self_loop=False)
+        label = f"grid3d_{args['grid3d']}"
+    elif args.get("wheel"):
+        coo = CooMatrix.wheel(args["wheel"])
+        label = f"wheel_{args['wheel']}"
+    elif args.get("dense"):
+        cols = args["dense"]
+        rows = (1 << 24) // cols          # 16M nnz (cpu_spmv.cpp:584)
+        coo = CooMatrix.dense(rows, cols)
+        label = f"dense_{rows}_x_{cols}"
+    elif args.get("powerlaw"):
+        n = args["powerlaw"]
+        coo = CooMatrix.random_powerlaw(n, n, 16 * n, seed=args.get("seed", 0))
+        label = f"powerlaw_{n}"
+    elif args.get("uniform"):
+        n = args["uniform"]
+        coo = CooMatrix.random_uniform(n, n, 16, seed=args.get("seed", 0))
+        label = f"uniform_{n}"
+    else:
+        print("No graph type specified (--mtx/--grid2d/--grid3d/--wheel/"
+              "--dense/--powerlaw/--uniform).", file=sys.stderr)
+        sys.exit(1)
+    print(f"{label}, ", end="", flush=True)
+    return CsrMatrix.from_coo(coo)
+
+
+def display_perf(name, setup_ms, avg_ms, csr, value_bytes, quiet=False,
+                 peak_gbps=None, num_rhs=1):
+    """Perf line (cpu_spmv.cpp:502-528 byte/flop model, RHS-scaled)."""
+    total_bytes = (csr.num_nonzeros * (value_bytes * (1 + num_rhs) + 4)
+                   + csr.num_rows * (4 + value_bytes * num_rhs))
+    gflops = 2 * num_rhs * csr.num_nonzeros / avg_ms / 1e6
+    gbps = total_bytes / avg_ms / 1e6
+    if quiet:
+        print(f"{setup_ms:.5f}, {avg_ms:.5f}, {gflops:.6f}, {gbps:.3f}, ",
+              end="", flush=True)
+    else:
+        pct = f", {100.0 * gbps / peak_gbps:.2f}% peak" if peak_gbps else ""
+        print(f"fp{value_bytes * 8}: {setup_ms:.4f} setup ms, "
+              f"{avg_ms:.4f} avg ms, {gflops:.5f} gflops, "
+              f"{gbps:.3f} effective GB/s{pct}", flush=True)
+    return {"gflops": gflops, "gbps": gbps, "avg_ms": avg_ms}
+
+
+def _verify(name, y, gold, quiet):
+    idx = compare_results(np.asarray(y), gold, verbose=not quiet)
+    if not quiet:
+        print(f"\t{'FAIL' if idx is not None else 'PASS'}", flush=True)
+    return idx
+
+
+def _bench_device_backend(backend, plan, csr, dev_arrays, x, gold, args):
+    """Verify + time a device backend (csrmv dispatch path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from merge_spmv_tpu.ops.csrmv import csrmv
+
+    quiet = args.get("quiet", False)
+    v, re_, ci = dev_arrays
+    xd = jnp.asarray(x)
+
+    setup_t = Timer().start()
+    y = csrmv(plan, v, re_, ci, xd, alpha=args.get("alpha", 1.0))
+    jax.block_until_ready(y)
+    setup_t.stop()  # includes jit compile — the "setup" analog
+
+    idx = _verify(backend, y, gold, quiet)
+
+    iters = args.get("i") or adaptive_timing_iterations(
+        csr.num_nonzeros, max_iterations=args.get("max_iters", 2000))
+    n2 = max(4, min(iters, 40))
+    n1 = max(1, n2 // 4)
+
+    alpha = args.get("alpha", 1.0)
+
+    def step(xc):
+        yc = csrmv(plan, v, re_, ci, xc, alpha=alpha)
+        return xc * (1.0 + jnp.tanh(jnp.sum(yc)) * 1e-12)
+
+    step = jax.jit(step)
+    avg_ms = chained_rate_ms(step, xd, n1=n1, n2=n2)
+    return BackendResult(backend, avg_ms, setup_t.elapsed_millis(),
+                         idx is None, idx)
+
+
+def _bench_scipy(csr, x, gold, args):
+    try:
+        import scipy.sparse as sp
+    except ImportError:
+        return None
+    quiet = args.get("quiet", False)
+    t = Timer().start()
+    m = sp.csr_matrix((csr.values, csr.col_indices, csr.row_offsets),
+                      shape=(csr.num_rows, csr.num_cols))
+    t.stop()
+    y = args.get("alpha", 1.0) * (m @ x)
+    idx = _verify("scipy", y, gold, quiet)
+    iters = min(args.get("i") or adaptive_timing_iterations(
+        csr.num_nonzeros, max_iterations=200), 200)
+    tm = Timer().start()
+    for _ in range(iters):
+        y = m @ x
+    tm.stop()
+    return BackendResult("scipy", tm.elapsed_millis() / iters,
+                         t.elapsed_millis(), idx is None, idx)
+
+
+def _bench_torch(csr, x, gold, args):
+    try:
+        import torch
+    except ImportError:
+        return None
+    quiet = args.get("quiet", False)
+    t = Timer().start()
+    m = torch.sparse_csr_tensor(
+        torch.from_numpy(np.ascontiguousarray(csr.row_offsets, dtype=np.int64)),
+        torch.from_numpy(np.ascontiguousarray(csr.col_indices, dtype=np.int64)),
+        torch.from_numpy(np.ascontiguousarray(csr.values)),
+        size=(csr.num_rows, csr.num_cols))
+    xt = torch.from_numpy(np.ascontiguousarray(x))
+    t.stop()
+    y = args.get("alpha", 1.0) * (m @ xt).numpy()
+    idx = _verify("torch", y, gold, quiet)
+    iters = min(args.get("i") or adaptive_timing_iterations(
+        csr.num_nonzeros, max_iterations=200), 200)
+    tm = Timer().start()
+    for _ in range(iters):
+        y = m @ xt
+    tm.stop()
+    return BackendResult("torch", tm.elapsed_millis() / iters,
+                         t.elapsed_millis(), idx is None, idx)
+
+
+def run_benchmark(args) -> dict:
+    """Full benchmark flow; returns {backend: perf dict}."""
+    from merge_spmv_tpu.ops.plan import make_plan
+
+    quiet = args.get("quiet", False)
+    fp64 = not args.get("fp32", True)
+    dtype = np.float64 if fp64 else np.float32
+    vb = 8 if fp64 else 4
+
+    csr = build_matrix(args).astype(dtype)
+    stats = csr.stats()
+    stats.display(show_labels=not quiet,
+                  out=(lambda s: print(s, end="" if quiet else "\n", flush=True)))
+    if not quiet:
+        print()
+        csr.display_histogram()
+        print()
+        if args.get("v2"):
+            csr.display()
+        info = device_info()
+        print(f"device: {info['platform']} {info['device_kind']} "
+              f"(peak {info['peak_hbm_gbps']} GB/s)\n")
+
+    # vectors (ones, matching RunTests cpu_spmv.cpp:637-641)
+    x = np.ones(csr.num_cols, dtype=dtype)
+    gold = csr.spmv_gold(x, None, alpha=args.get("alpha", 1.0), beta=0.0)
+
+    peak = peak_hbm_bandwidth()
+    results = {}
+    backends = args.get("backends") or ["scipy", "xla", "merge"]
+
+    dev_arrays = None
+    for backend in backends:
+        if not quiet:
+            print(f"\n{_display_name(backend)}, ", end="", flush=True)
+        else:
+            print(f"{_display_name(backend)}, ", end="", flush=True)
+        if backend in ("merge", "xla"):
+            if dev_arrays is None:
+                dev_arrays = csr.to_device(dtype=dtype)
+            plan = make_plan(csr.num_rows, csr.num_cols, csr.num_nonzeros,
+                             dtype=dtype,
+                             tile_items=args.get("tile_items"),
+                             backend="pallas" if backend == "merge" else "xla")
+            if backend == "merge" and plan.backend != "pallas":
+                plan = make_plan(csr.num_rows, csr.num_cols, csr.num_nonzeros,
+                                 dtype=dtype, backend="auto")
+            r = _bench_device_backend(backend, plan, csr, dev_arrays, x,
+                                      gold, args)
+        elif backend == "scipy":
+            r = _bench_scipy(csr, x, gold, args)
+        elif backend == "torch":
+            r = _bench_torch(csr, x, gold, args)
+        else:
+            print(f"unknown backend {backend}", file=sys.stderr)
+            continue
+        if r is None:
+            continue
+        results[backend] = display_perf(
+            backend, r.setup_ms, r.avg_ms, csr, vb, quiet=quiet,
+            peak_gbps=peak if backend in ("merge", "xla") else None)
+        results[backend]["verified"] = r.verified
+    print()
+    return results
+
+
+def _display_name(backend):
+    return {"merge": "Merge CsrMV (pallas)", "xla": "XLA CsrMV",
+            "scipy": "SciPy CsrMV", "torch": "Torch CsrMV"}.get(backend,
+                                                                backend)

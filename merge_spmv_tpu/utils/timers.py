@@ -56,6 +56,10 @@ def time_device_fn(fn, *args, iterations: int = 100, warmup: int = 3):
     `fn(*args)` must return one or more jax arrays; completion is awaited via
     block_until_ready on the last output (the analog of GpuTimer's
     cudaEvent pair around the launch loop, utils.h:624-658).
+
+    NOTE: on relayed/async device transports (axon tunnel),
+    block_until_ready may not reflect device completion and repeated
+    identical dispatches can be elided; prefer `chained_rate_ms` there.
     """
     import jax
 
@@ -70,3 +74,51 @@ def time_device_fn(fn, *args, iterations: int = 100, warmup: int = 3):
     jax.block_until_ready(out)
     t.stop()
     return t.elapsed_millis() / iterations
+
+
+def chained_rate_ms(step_fn, x0, n1: int = 5, n2: int = 20, reps: int = 3,
+                    warmup: int = 2):
+    """Robust per-iteration milliseconds via the chained-difference method.
+
+    `step_fn(x) -> x'` must make iteration k+1 data-depend on iteration k
+    (defeats dispatch elision), and the measurement reads back a full
+    reduction of the final value (defeats async-transport early returns and
+    dead-code elimination through the chain).  The fixed costs (dispatch,
+    transfer latency) cancel in the difference t(n2) - t(n1).
+
+    This is the TPU-tunnel-safe analog of the reference's timed loop around
+    N kernel launches (gpu_spmv.cu:418-429).
+    """
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    import numpy as np
+
+    def run_chain(iters):
+        x = x0
+        t0 = _time.perf_counter()
+        for _ in range(iters):
+            x = step_fn(x)
+        # full-reduction readback: depends on every element of the result
+        np.asarray(jax.device_get(jnp.sum(x)))
+        return _time.perf_counter() - t0
+
+    run_chain(warmup)
+    t1 = min(run_chain(n1) for _ in range(reps))
+    t2 = min(run_chain(n2) for _ in range(reps))
+    return max((t2 - t1) / (n2 - n1), 1e-9) * 1e3
+
+
+def chain_through(y_to_x_scale=1e-12):
+    """Helper making a chain step from an (args -> y) function when x and y
+    have different shapes: x' = x * (1 + tanh(sum(y)) * scale)."""
+    import jax.numpy as jnp
+
+    def wrap(fn):
+        def step(x, *args):
+            y = fn(x, *args)
+            return x * (1.0 + jnp.tanh(jnp.sum(y)) * y_to_x_scale)
+        return step
+    return wrap

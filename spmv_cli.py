@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""CsrMV benchmark CLI — flag-compatible analog of the reference drivers.
+
+Usage (mirrors cpu_spmv.cpp:686-706 / gpu_spmv.cu:676-696):
+
+    python spmv_cli.py --mtx=<matrix market file> [options]
+    python spmv_cli.py --grid2d=<width> | --grid3d=<width> |
+                       --wheel=<spokes> | --dense=<cols> |
+                       --powerlaw=<n> | --uniform=<n>
+
+Options:
+    --fp32 (default) | --fp64        value dtype
+    --alpha=<s>                      y = alpha*A*x (default 1.0)
+    --i=<timing iterations>          default: adaptive 16G-nnz rule
+    --quiet                          CSV output for corpus sweeps
+    --v / --v2                       verbose / dump matrix
+    --backends=merge,xla,scipy,torch comma list (default scipy,xla,merge)
+    --tile-items=<n>                 merge items per Pallas tile
+    --seed=<n>                       generator seed
+"""
+
+import sys
+
+
+def parse_args(argv):
+    """--key=value / --flag parsing (utils.h:280-445 semantics)."""
+    args = {}
+    for a in argv[1:]:
+        if not a.startswith("--"):
+            print(f"unrecognized argument: {a}", file=sys.stderr)
+            sys.exit(2)
+        body = a[2:]
+        if "=" in body:
+            k, v = body.split("=", 1)
+            k = k.replace("-", "_")
+            if k in ("mtx", "backends"):
+                args[k] = v
+            elif k == "alpha":
+                args[k] = float(v)
+            else:
+                args[k] = int(v)
+        else:
+            args[body.replace("-", "_")] = True
+    if "backends" in args:
+        args["backends"] = args["backends"].split(",")
+    if args.get("fp64"):
+        args["fp32"] = False
+    else:
+        args.setdefault("fp32", True)
+    if "i" in args and isinstance(args["i"], bool):
+        del args["i"]
+    return args
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv
+    args = parse_args(argv)
+    if args.get("help"):
+        print(__doc__)
+        return 0
+    from merge_spmv_tpu.bench.driver import run_benchmark
+    run_benchmark(args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

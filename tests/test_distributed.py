@@ -1,0 +1,74 @@
+"""Multi-chip merge-path CsrMV tests on the simulated 8-device CPU mesh
+(SURVEY.md §4: test multi-host logic without a pod)."""
+
+import numpy as np
+import pytest
+import jax
+from jax.sharding import Mesh
+
+from merge_spmv_tpu.formats.coo import CooMatrix
+from merge_spmv_tpu.formats.csr import CsrMatrix
+from merge_spmv_tpu.parallel.partition import partition_csr
+from merge_spmv_tpu.parallel.distributed import (distributed_csrmv,
+                                                 materialize_y)
+from merge_spmv_tpu.utils.compare import assert_allclose_ulp
+
+
+def _mesh(n):
+    devs = jax.devices()[:n]
+    if len(devs) < n:
+        pytest.skip(f"needs {n} devices")
+    return Mesh(np.array(devs), ("shards",))
+
+
+MATRICES = {
+    "grid2d": lambda: CooMatrix.grid2d(15),
+    "wheel": lambda: CooMatrix.wheel(500),            # hub spans shards
+    "powerlaw": lambda: CooMatrix.random_powerlaw(400, 300, 3000, seed=2),
+    "empty_rows": lambda: CooMatrix(350, 40, rows=[10, 300],
+                                    cols=[0, 39], vals=[1.0, 2.0]),
+    "giant_row": lambda: CooMatrix(9, 4000,
+                                   rows=np.zeros(4000, np.int64),
+                                   cols=np.arange(4000),
+                                   vals=np.ones(4000)),  # spans many shards
+}
+
+
+class TestPartition:
+    def test_balanced_merge_work(self):
+        csr = CsrMatrix.from_coo(MATRICES["wheel"]())
+        part = partition_csr(csr, 8)
+        work = np.diff(part.row_starts.astype(np.int64)) + \
+            np.diff(np.concatenate([[0], np.cumsum(part.meta[:, 3])]))
+        per = -(-(csr.num_rows + csr.num_nonzeros) // 8)
+        assert (work <= per).all()
+
+    def test_nnz_conserved(self):
+        csr = CsrMatrix.from_coo(MATRICES["powerlaw"]())
+        part = partition_csr(csr, 8)
+        assert part.meta[:, 3].sum() == csr.num_nonzeros
+
+
+@pytest.mark.parametrize("name", sorted(MATRICES))
+@pytest.mark.parametrize("n_shards", [2, 8])
+def test_distributed_vs_gold(name, n_shards):
+    mesh = _mesh(n_shards)
+    csr = CsrMatrix.from_coo(MATRICES[name]())
+    rs = np.random.RandomState(0)
+    csr.values = rs.uniform(0.1, 1.0, csr.num_nonzeros)
+    x = rs.uniform(0.1, 1.0, csr.num_cols).astype(np.float32)
+    part = partition_csr(csr, n_shards, dtype=np.float32)
+    yw = distributed_csrmv(mesh, part, x)
+    y = materialize_y(yw, part)
+    gold = csr.astype(np.float32).spmv_gold(x)
+    assert_allclose_ulp(y, gold, context=f"{name}/{n_shards}")
+
+
+def test_alpha_scaling():
+    mesh = _mesh(4)
+    csr = CsrMatrix.from_coo(MATRICES["grid2d"]())
+    x = np.ones(csr.num_cols, np.float32)
+    part = partition_csr(csr, 4, dtype=np.float32)
+    y = materialize_y(distributed_csrmv(mesh, part, x, alpha=2.5), part)
+    gold = csr.astype(np.float32).spmv_gold(x, alpha=2.5)
+    assert_allclose_ulp(y, gold, context="alpha")
