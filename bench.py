@@ -1,15 +1,47 @@
 #!/usr/bin/env python
 """Headline benchmark — emits ONE JSON line for the driver.
 
-Metric: effective bandwidth (reference byte model, cpu_spmv.cpp:508-509) of
-the merge-path Pallas CsrMV on a 100^3 grid Laplacian (banded, 1M rows,
-5.94M nnz, fp32) on one TPU chip.  vs_baseline compares against the
-reference's best single-device result: GPU merge CsrMV at 181.6 GB/s
-effective on circuit5M fp64 (Tesla K40, README.md:138).
+Metric: SpMV throughput (GFLOP/s = 2*nnz/time, the paper's headline unit,
+Table 1 / Fig. 10) of the merge-path Pallas CsrMV on a 100^3 grid Laplacian
+(1M rows, 5.94M nnz, fp32) on one TPU chip.  vs_baseline compares against
+the reference's best single-device result: GPU merge CsrMV on circuit5M at
+17.19 GFLOP/s fp64 (Tesla K40, README.md:138).  The effective bandwidth by
+the reference byte model (cpu_spmv.cpp:508-509) is reported alongside.
+
+Timing discipline: verify-then-time (the reference's RunTests order), with
+chained dependent calls and a subtracted single-call baseline so per-call
+dispatch overhead (large under remote tunnels) does not pollute the kernel
+time.
 """
 
 import json
 import sys
+import time
+
+
+def chained_kernel_ms(step, x0, n=20, reps=3):
+    """Time n chained applications of step, subtracting the 1-call chain to
+    remove dispatch overhead.  Forces completion via host readback."""
+    import numpy as np
+
+    xc = x0
+    for _ in range(3):
+        xc = step(xc)
+    _ = np.asarray(xc[:1])
+    big = small = 1e30
+    for _ in range(reps):
+        xc = x0
+        t0 = time.perf_counter()
+        for _ in range(n):
+            xc = step(xc)
+        _ = np.asarray(xc[:1])
+        big = min(big, time.perf_counter() - t0)
+        xc = x0
+        t0 = time.perf_counter()
+        xc = step(xc)
+        _ = np.asarray(xc[:1])
+        small = min(small, time.perf_counter() - t0)
+    return max(big - small, 1e-9) / (n - 1) * 1e3
 
 
 def main():
@@ -19,40 +51,40 @@ def main():
 
     from merge_spmv_tpu.formats.coo import CooMatrix
     from merge_spmv_tpu.formats.csr import CsrMatrix
-    from merge_spmv_tpu.ops.csrmv import csrmv
-    from merge_spmv_tpu.ops.plan import make_plan
+    from merge_spmv_tpu.ops.operator import build_operator
     from merge_spmv_tpu.utils.compare import compare_results
-    from merge_spmv_tpu.utils.timers import chained_rate_ms
 
     csr = CsrMatrix.from_coo(CooMatrix.grid3d(100)).astype(np.float32)
     rs = np.random.RandomState(0)
     csr.values = rs.uniform(0.5, 1.5, csr.num_nonzeros).astype(np.float32)
     n, nnz = csr.num_rows, csr.num_nonzeros
 
-    plan = make_plan(n, csr.num_cols, nnz, dtype=np.float32, backend="auto")
-    v, re_, ci = csr.to_device(dtype=np.float32)
+    op = build_operator(csr, dtype="float32")
     x = jnp.ones((csr.num_cols,), jnp.float32)
 
-    # verify before timing (the reference's discipline)
-    y = csrmv(plan, v, re_, ci, x)
+    # verify before timing (the reference's discipline, cpu_spmv.cpp:380-387)
+    y = op(x)
     gold = csr.spmv_gold(np.ones(csr.num_cols, np.float32))
     assert compare_results(np.asarray(y), gold, verbose=False) is None, \
         "verification failed"
 
+    @jax.jit
     def step(xc):
-        yc = csrmv(plan, v, re_, ci, xc)
-        return xc * (1.0 + jnp.tanh(jnp.sum(yc)) * 1e-12)
+        return xc + op(xc) * 1e-20
 
-    step = jax.jit(step)
-    avg_ms = chained_rate_ms(step, x, n1=5, n2=20, reps=3)
+    avg_ms = chained_kernel_ms(step, x)
 
+    gflops = 2 * nnz / avg_ms / 1e6
     total_bytes = nnz * 12 + n * 8
     gbps = total_bytes / avg_ms / 1e6
     print(json.dumps({
-        "metric": "grid3d100_merge_csrmv_fp32_effective_bandwidth",
-        "value": round(gbps, 3),
-        "unit": "GB/s",
-        "vs_baseline": round(gbps / 181.6, 4),
+        "metric": "grid3d100_merge_csrmv_fp32_gflops",
+        "value": round(gflops, 3),
+        "unit": "GFLOP/s",
+        "vs_baseline": round(gflops / 17.19, 4),
+        "kernel_ms": round(avg_ms, 4),
+        "effective_gbps": round(gbps, 3),
+        "backend": op.plan.backend,
     }))
     return 0
 

@@ -103,21 +103,25 @@ def _verify(name, y, gold, quiet):
     return idx
 
 
-def _bench_device_backend(backend, plan, csr, dev_arrays, x, gold, args):
-    """Verify + time a device backend (csrmv dispatch path)."""
+def _bench_device_backend(backend, csr, x, gold, args):
+    """Verify + time a device backend (operator dispatch path)."""
     import jax
     import jax.numpy as jnp
 
-    from merge_spmv_tpu.ops.csrmv import csrmv
+    from merge_spmv_tpu.ops.operator import build_operator
 
     quiet = args.get("quiet", False)
-    v, re_, ci = dev_arrays
     xd = jnp.asarray(x)
 
     setup_t = Timer().start()
-    y = csrmv(plan, v, re_, ci, xd, alpha=args.get("alpha", 1.0))
+    # setup = plan + gather-plan + H2D + first-call compile (the analog of
+    # the reference's "setup" column, e.g. HYB conversion gpu_spmv.cu:129)
+    op = build_operator(csr, dtype=csr.values.dtype,
+                        backend="pallas" if backend == "merge" else "xla",
+                        tile_items=args.get("tile_items"))
+    y = op(xd, alpha=args.get("alpha", 1.0))
     jax.block_until_ready(y)
-    setup_t.stop()  # includes jit compile — the "setup" analog
+    setup_t.stop()
 
     idx = _verify(backend, y, gold, quiet)
 
@@ -129,8 +133,8 @@ def _bench_device_backend(backend, plan, csr, dev_arrays, x, gold, args):
     alpha = args.get("alpha", 1.0)
 
     def step(xc):
-        yc = csrmv(plan, v, re_, ci, xc, alpha=alpha)
-        return xc * (1.0 + jnp.tanh(jnp.sum(yc)) * 1e-12)
+        yc = op(xc, alpha=alpha)
+        return xc + yc * 1e-20
 
     step = jax.jit(step)
     avg_ms = chained_rate_ms(step, xd, n1=n1, n2=n2)
@@ -188,8 +192,6 @@ def _bench_torch(csr, x, gold, args):
 
 def run_benchmark(args) -> dict:
     """Full benchmark flow; returns {backend: perf dict}."""
-    from merge_spmv_tpu.ops.plan import make_plan
-
     quiet = args.get("quiet", False)
     fp64 = not args.get("fp32", True)
     dtype = np.float64 if fp64 else np.float32
@@ -217,24 +219,13 @@ def run_benchmark(args) -> dict:
     results = {}
     backends = args.get("backends") or ["scipy", "xla", "merge"]
 
-    dev_arrays = None
     for backend in backends:
         if not quiet:
             print(f"\n{_display_name(backend)}, ", end="", flush=True)
         else:
             print(f"{_display_name(backend)}, ", end="", flush=True)
         if backend in ("merge", "xla"):
-            if dev_arrays is None:
-                dev_arrays = csr.to_device(dtype=dtype)
-            plan = make_plan(csr.num_rows, csr.num_cols, csr.num_nonzeros,
-                             dtype=dtype,
-                             tile_items=args.get("tile_items"),
-                             backend="pallas" if backend == "merge" else "xla")
-            if backend == "merge" and plan.backend != "pallas":
-                plan = make_plan(csr.num_rows, csr.num_cols, csr.num_nonzeros,
-                                 dtype=dtype, backend="auto")
-            r = _bench_device_backend(backend, plan, csr, dev_arrays, x,
-                                      gold, args)
+            r = _bench_device_backend(backend, csr, x, gold, args)
         elif backend == "scipy":
             r = _bench_scipy(csr, x, gold, args)
         elif backend == "torch":

@@ -63,9 +63,22 @@ class CsrMatrix:
     # ------------------------------------------------------------------ #
 
     @classmethod
-    def from_coo(cls, coo: CooMatrix):
+    def from_coo(cls, coo: CooMatrix, use_native: bool = True):
         """Build CSR from COO via stable (row, col) sort + searchsorted
-        offsets — the vectorized equivalent of sparse_matrix.h:666-728."""
+        offsets — the vectorized equivalent of sparse_matrix.h:666-728.
+
+        Uses the native parallel-sort path (native/market_io.cpp) when the
+        host library is built; NumPy otherwise.
+        """
+        if use_native and coo.num_nonzeros >= (1 << 16):
+            try:
+                from merge_spmv_tpu.formats import native_io
+                if native_io.available():
+                    ro, ci, vals = native_io.coo_to_csr(
+                        coo.num_rows, coo.rows, coo.cols, coo.vals)
+                    return cls(coo.num_rows, coo.num_cols, ro, ci, vals)
+            except ImportError:
+                pass
         order = np.lexsort((coo.cols, coo.rows))  # stable: row major, col minor
         rows_sorted = coo.rows[order]
         col_indices = coo.cols[order]

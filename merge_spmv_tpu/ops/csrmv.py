@@ -25,7 +25,8 @@ __all__ = ["csrmv", "csrmm", "csrmv_fn", "make_plan", "SpmvPlan"]
 
 
 @functools.lru_cache(maxsize=256)
-def _jitted_csrmv(plan: SpmvPlan, has_y_in: bool, interpret: bool):
+def _jitted_csrmv(plan: SpmvPlan, has_y_in: bool, has_meta: bool,
+                  interpret: bool):
     """Compile (and cache) the csrmv executable for a plan."""
     if plan.backend == "pallas":
         from merge_spmv_tpu.ops import csrmv_pallas as _pallas
@@ -34,44 +35,49 @@ def _jitted_csrmv(plan: SpmvPlan, has_y_in: bool, interpret: bool):
     else:
         kernel = None
 
-    def run(values, row_end_offsets, col_indices, x, y_in, alpha, beta):
+    def run(values, row_end_offsets, col_indices, x, y_in, alpha, beta,
+            meta):
         if kernel is not None:
             return kernel(values, row_end_offsets, col_indices, x,
-                          y_in=y_in, alpha=alpha, beta=beta)
+                          y_in=y_in, alpha=alpha, beta=beta, meta=meta)
         return _xla.csrmv_xla(values, row_end_offsets, col_indices, x,
                               y_in=y_in, alpha=alpha, beta=beta)
 
-    if has_y_in:
-        fn = lambda v, re, ci, x, y_in, a, b: run(v, re, ci, x, y_in, a, b)
-    else:
-        fn = lambda v, re, ci, x, a, b: run(v, re, ci, x, None, a, b)
-    return jax.jit(fn)
+    def fn(v, re, ci, x, a, b, y_in=None, meta=None):
+        return run(v, re, ci, x, y_in, a, b, meta)
+    return jax.jit(fn, static_argnames=())
 
 
 def csrmv(plan: SpmvPlan, values, row_end_offsets, col_indices, x,
-          y_in=None, alpha=1.0, beta=0.0, interpret: bool = False):
+          y_in=None, alpha=1.0, beta=0.0, interpret: bool = False,
+          meta=None):
     """y = alpha * A @ x + beta * y_in.
 
     Parameters mirror DeviceSpmv::CsrMV (device_spmv.cuh:129-164), with
-    `row_end_offsets` = row_offsets[1:] (merge list A).
+    `row_end_offsets` = row_offsets[1:] (merge list A).  ``meta`` is the
+    optional per-matrix gather plan (ops/gather_plan.py), managed by
+    SpmvOperator (ops/operator.py).
     """
     dtype = jnp.dtype(plan.dtype)
     alpha = jnp.asarray(alpha, dtype=dtype)
     beta = jnp.asarray(beta, dtype=dtype)
-    if y_in is None:
-        fn = _jitted_csrmv(plan, False, interpret)
-        return fn(values, row_end_offsets, col_indices, x, alpha, beta)
-    fn = _jitted_csrmv(plan, True, interpret)
-    return fn(values, row_end_offsets, col_indices, x, y_in, alpha, beta)
+    fn = _jitted_csrmv(plan, y_in is not None, meta is not None, interpret)
+    kw = {}
+    if y_in is not None:
+        kw["y_in"] = y_in
+    if meta is not None:
+        kw["meta"] = meta
+    return fn(values, row_end_offsets, col_indices, x, alpha, beta, **kw)
 
 
-def csrmv_fn(plan: SpmvPlan, interpret: bool = False):
+def csrmv_fn(plan: SpmvPlan, interpret: bool = False, has_meta: bool = False):
     """Return the raw jitted function for benchmarking loops."""
-    return _jitted_csrmv(plan, False, interpret)
+    return _jitted_csrmv(plan, False, has_meta, interpret)
 
 
 @functools.lru_cache(maxsize=256)
-def _jitted_csrmm(plan: SpmvPlan, has_y_in: bool, interpret: bool):
+def _jitted_csrmm(plan: SpmvPlan, has_y_in: bool, has_meta: bool,
+                  interpret: bool):
     if plan.backend == "pallas":
         from merge_spmv_tpu.ops import csrmv_pallas as _pallas
         kernel = functools.partial(_pallas.csrmm_pallas, plan,
@@ -79,28 +85,30 @@ def _jitted_csrmm(plan: SpmvPlan, has_y_in: bool, interpret: bool):
     else:
         kernel = None
 
-    def run(values, row_end_offsets, col_indices, X, Y_in, alpha, beta):
+    def run(values, row_end_offsets, col_indices, X, Y_in, alpha, beta,
+            meta):
         if kernel is not None:
             return kernel(values, row_end_offsets, col_indices, X,
-                          Y_in=Y_in, alpha=alpha, beta=beta)
+                          Y_in=Y_in, alpha=alpha, beta=beta, meta=meta)
         return _xla.csrmm_xla(values, row_end_offsets, col_indices, X,
                               Y_in=Y_in, alpha=alpha, beta=beta)
 
-    if has_y_in:
-        fn = lambda v, re, ci, X, Y, a, b: run(v, re, ci, X, Y, a, b)
-    else:
-        fn = lambda v, re, ci, X, a, b: run(v, re, ci, X, None, a, b)
+    def fn(v, re, ci, X, a, b, Y_in=None, meta=None):
+        return run(v, re, ci, X, Y_in, a, b, meta)
     return jax.jit(fn)
 
 
 def csrmm(plan: SpmvPlan, values, row_end_offsets, col_indices, X,
-          Y_in=None, alpha=1.0, beta=0.0, interpret: bool = False):
+          Y_in=None, alpha=1.0, beta=0.0, interpret: bool = False,
+          meta=None):
     """Y = alpha * A @ X + beta * Y_in  (SpMM; X is [num_cols, k])."""
     dtype = jnp.dtype(plan.dtype)
     alpha = jnp.asarray(alpha, dtype=dtype)
     beta = jnp.asarray(beta, dtype=dtype)
-    if Y_in is None:
-        fn = _jitted_csrmm(plan, False, interpret)
-        return fn(values, row_end_offsets, col_indices, X, alpha, beta)
-    fn = _jitted_csrmm(plan, True, interpret)
-    return fn(values, row_end_offsets, col_indices, X, Y_in, alpha, beta)
+    fn = _jitted_csrmm(plan, Y_in is not None, meta is not None, interpret)
+    kw = {}
+    if Y_in is not None:
+        kw["Y_in"] = Y_in
+    if meta is not None:
+        kw["meta"] = meta
+    return fn(values, row_end_offsets, col_indices, X, alpha, beta, **kw)

@@ -1,0 +1,167 @@
+"""Gather metadata for the merge-path Pallas kernel.
+
+The performance crux of CsrMV on TPU is the random gather ``x[col]``
+(SURVEY.md §7.3): the VPU has no hardware gather beyond register-local
+(8, 128) lane/sublane shuffles, so the kernel fetches one 128-column window
+of x at a time and lane-gathers within it.  The cost is therefore
+proportional to the number of *windows visited per 1024-nonzero block*.
+
+This module precomputes, per aligned 1024-nonzero block, the list of
+distinct 128-wide column windows ("subchunks", id = col >> 7) the block
+touches:
+
+* ``gather_meta_np`` — host (NumPy) construction at plan time.  Fully
+  vectorized: sort each block's subchunk ids, keep first occurrences.
+  This is *metadata*, not a format conversion — values/col_indices are
+  untouched (the reference's no-preprocessing brand, README.md:5-7); it
+  plays the role the per-SM tuning policy ladder plays in the reference
+  dispatch (dispatch_spmv_orig.cuh:262-445): one-time, per-problem
+  planning.
+* ``gather_meta_range`` — jit-traceable fallback when the host column
+  array is unavailable: per-block [lo, hi] subchunk *range* (K = 1, the
+  kernel walks lo..lo+cnt-1).  Exact for banded matrices; degrades to a
+  full-range sweep on scattered ones.
+
+Block b covers nonzeros [1024*b, 1024*(b+1)) — globally aligned, so the
+same metadata serves every tile that overlaps the block (tile windows are
+aligned down to 1024, csrmv_pallas.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["gather_meta_np", "gather_meta_range", "row_window_np",
+           "BLOCK", "SUBCHUNK"]
+
+BLOCK = 1024     # nonzeros per gather block == one (8, 128) vector register
+SUBCHUNK = 128   # columns per gather window == one lane-gather table
+
+
+def _pad_blocks(ids: np.ndarray, num_blocks: int) -> np.ndarray:
+    """Pad the per-nonzero id array to (num_blocks, BLOCK), repeating the
+    last id so padding never adds a distinct window."""
+    n = ids.shape[0]
+    pad = num_blocks * BLOCK - n
+    if pad:
+        fill = ids[-1] if n else 0
+        ids = np.concatenate([ids, np.full(pad, fill, ids.dtype)])
+    return ids.reshape(num_blocks, BLOCK)
+
+
+def gather_meta_np(col_indices, num_nonzeros: int, pad_blocks: int = 0,
+                   k_cap: int | None = None):
+    """Distinct-subchunk lists per 1024-nnz block.
+
+    Returns (cnt, lst): cnt[b] = number of distinct windows of block b,
+    lst[b, :cnt[b]] = their ids ascending; K = lst.shape[1] = max(cnt).
+    ``pad_blocks`` appends zero-count blocks so kernel windows may run past
+    the last real block.  If ``k_cap`` is given and max(cnt) exceeds it,
+    returns None (caller falls back to another strategy).
+    """
+    cols = np.asarray(col_indices[:num_nonzeros], dtype=np.int64)
+    nb = max(1, -(-num_nonzeros // BLOCK))
+    sc = _pad_blocks(cols >> 7, nb).astype(np.int32)
+    sc.sort(axis=1)
+    first = np.ones_like(sc, dtype=bool)
+    first[:, 1:] = sc[:, 1:] != sc[:, :-1]
+    cnt = first.sum(axis=1).astype(np.int32)
+    k = int(cnt.max()) if num_nonzeros else 1
+    if k_cap is not None and k > k_cap:
+        return None
+    # scatter first-occurrence values into compact per-row lists;
+    # -1-padded: the kernel's unrolled gather masks on (col>>7) == id, so a
+    # sentinel that can never match makes padded visits no-ops
+    lst = np.full((nb, k), -1, dtype=np.int32)
+    rows, colpos = np.nonzero(first)
+    dest = (np.cumsum(first.ravel()).reshape(first.shape) - 1
+            - np.concatenate([[0], np.cumsum(cnt)[:-1]])[:, None])
+    lst[rows, dest[first]] = sc[first]
+    if pad_blocks:
+        cnt = np.concatenate([cnt, np.zeros(pad_blocks, np.int32)])
+        lst = np.concatenate([lst, np.full((pad_blocks, k), -1, np.int32)])
+    return cnt, lst
+
+
+def gather_meta_range(cols_padded, num_nonzeros: int, num_blocks: int):
+    """Device (jit-traceable) range metadata: cnt[b] = hi-lo+1, lst[b,0]=lo.
+
+    ``cols_padded`` must be padded to at least num_blocks*BLOCK entries with
+    values that do not extend the ranges (csrmv_pallas pads with the last
+    real column).
+    """
+    import jax.numpy as jnp
+
+    sc = (cols_padded[:num_blocks * BLOCK] >> 7).reshape(num_blocks, BLOCK)
+    if num_nonzeros < num_blocks * BLOCK:
+        # mask padding in the final block to the block's first valid entry
+        j = jnp.arange(num_blocks * BLOCK, dtype=jnp.int32).reshape(
+            num_blocks, BLOCK)
+        valid = j < num_nonzeros
+        anchor = sc[:, :1]
+        sc = jnp.where(valid, sc, anchor)
+    lo = sc.min(axis=1).astype(jnp.int32)
+    hi = sc.max(axis=1).astype(jnp.int32)
+    cnt = (hi - lo + 1).astype(jnp.int32)
+    return cnt, lo[:, None]
+
+
+def meta_width(tile_items: int, k: int) -> int:
+    """Width of one tile's packed gather-meta record: [cnt_0..cnt_{BPT-1},
+    lst_0_0..lst_0_{K-1}, lst_1_0, ...].  Padded to 1024 entries so the
+    per-tile SMEM block matches XLA's 1D int32 tiling ({0:T(1024)})."""
+    bpt = (tile_items + BLOCK) // BLOCK
+    return -(-(bpt * (1 + k)) // 1024) * 1024
+
+
+def pack_tile_meta_np(cnt, lst, tile_nnz, tile_items: int) -> np.ndarray:
+    """Pack per-block gather metadata into the flat per-tile SMEM layout.
+
+    cnt (nblocks,), lst (nblocks, K) from gather_meta_np (already padded by
+    at least BPT blocks); tile_nnz (num_tiles+1,) from the host tile split.
+    Returns int32 (num_tiles * meta_width,).
+    """
+    bpt = (tile_items + BLOCK) // BLOCK
+    k = lst.shape[1]
+    w = meta_width(tile_items, k)
+    num_tiles = len(tile_nnz) - 1
+    b0 = (np.asarray(tile_nnz[:-1], np.int64) // BLOCK)
+    idx = np.minimum(b0[:, None] + np.arange(bpt), len(cnt) - 1)
+    meta = np.zeros((num_tiles, w), np.int32)
+    meta[:, :bpt] = cnt[idx]
+    meta[:, bpt:bpt + bpt * k] = lst[idx].reshape(num_tiles, bpt * k)
+    return meta.ravel()
+
+
+def pack_tile_meta(cnt, lst, tile_nnz, tile_items: int):
+    """Device (jit-traceable) version of pack_tile_meta_np."""
+    import jax.numpy as jnp
+
+    bpt = (tile_items + BLOCK) // BLOCK
+    k = lst.shape[1]
+    w = meta_width(tile_items, k)
+    num_tiles = tile_nnz.shape[0] - 1
+    b0 = tile_nnz[:-1] // BLOCK
+    idx = jnp.minimum(b0[:, None] + jnp.arange(bpt, dtype=jnp.int32),
+                      cnt.shape[0] - 1)
+    meta = jnp.zeros((num_tiles, w), jnp.int32)
+    meta = meta.at[:, :bpt].set(jnp.take(cnt, idx, axis=0))
+    meta = meta.at[:, bpt:bpt + bpt * k].set(
+        jnp.take(lst, idx, axis=0).reshape(num_tiles, bpt * k))
+    return meta.ravel()
+
+
+def row_window_np(row_end_offsets, num_nonzeros: int, tile_items: int) -> int:
+    """Static row-window size R: max over tiles of (row1 - align1024(row0)),
+    rounded up to 1024.  Bounds the per-tile y/row-offsets DMA windows so
+    they scale with actual rows per tile instead of tile_items."""
+    from merge_spmv_tpu.ops.merge_path import merge_tile_coordinates_np
+
+    tile_rows, _ = merge_tile_coordinates_np(
+        row_end_offsets, num_nonzeros, tile_items)
+    if len(tile_rows) < 2:
+        return BLOCK
+    row0 = tile_rows[:-1]
+    row1 = tile_rows[1:]
+    span = int((row1 - (row0 // BLOCK) * BLOCK).max())
+    return max(BLOCK, -(-span // BLOCK) * BLOCK)

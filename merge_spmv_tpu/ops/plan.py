@@ -35,10 +35,14 @@ VMEM_BYTES_PER_CORE = 16 * 1024 * 1024
 # Larger tiles amortize per-step overhead; smaller tiles cut the VMEM
 # footprint and the padding waste on small matrices.
 _DEFAULT_TILE_ITEMS = {
-    "float32": 16384,
-    "bfloat16": 16384,
+    "float32": 32768,
+    "bfloat16": 32768,
     "float64": 8192,
 }
+
+# Max distinct gather windows per block the kernel keeps as explicit lists
+# (SMEM budget); above this the plan falls back to per-block range scans.
+_META_K_CAP = 128
 
 
 def _dtype_name(dtype) -> str:
@@ -60,6 +64,8 @@ class SpmvPlan:
     backend: str               # "pallas" | "xla"
     x_in_vmem: bool            # whole x resident in VMEM (gather locality)
     num_rhs: int = 1           # k for SpMM (1 = SpMV)
+    r_win: int = 0             # per-tile row window (multiple of 1024)
+    meta_k: int = 0            # gather-list width (0 = range fallback)
 
     @property
     def num_merge_items(self) -> int:
@@ -88,13 +94,23 @@ class SpmvPlan:
 def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
               dtype="float32", tile_items: Optional[int] = None,
               backend: str = "auto", num_rhs: int = 1,
-              vmem_bytes: int = VMEM_BYTES_PER_CORE) -> SpmvPlan:
+              vmem_bytes: int = VMEM_BYTES_PER_CORE,
+              r_win: Optional[int] = None,
+              meta_k: Optional[int] = None,
+              row_end_offsets=None, col_indices=None) -> SpmvPlan:
     """Build an execution plan (phase 1 of the two-phase contract).
 
     backend="auto" picks the Pallas merge kernel when the platform supports
     it and x fits in VMEM, else the XLA segment-sum formulation.  The 1-wide
     degenerate case (num_cols == 1, dispatch_spmv_orig.cuh:566-593) and
     fp64 (not natively supported by the TPU vector units) also route to XLA.
+
+    Passing the host CSR arrays (``row_end_offsets``, ``col_indices``)
+    tightens the static kernel knobs: ``r_win`` (per-tile row window from
+    the actual tile split) and ``meta_k`` (distinct gather windows per
+    block; see ops/gather_plan.py).  Callers that precomputed those pass
+    them directly.  build_operator (ops/operator.py) does all of this and
+    uploads the gather lists once per matrix.
     """
     dname = _dtype_name(np.dtype(dtype))
     vs = np.dtype(dname).itemsize
@@ -110,6 +126,7 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
         total = num_rows + num_nonzeros
         while tile_items > 1024 and tile_items >= 4 * total:
             tile_items //= 2
+    tile_items = max(1024, -(-int(tile_items) // 1024) * 1024)
 
     resolved = backend
     if backend == "auto":
@@ -129,6 +146,26 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
                 pallas_ok = False
         resolved = "pallas" if pallas_ok else "xla"
 
+    if r_win is None:
+        if row_end_offsets is not None:
+            from merge_spmv_tpu.ops.gather_plan import row_window_np
+            r_win = row_window_np(row_end_offsets, num_nonzeros, tile_items)
+        else:
+            # safe bound: a tile completes at most tile_items rows, plus
+            # up to 1023 alignment shift
+            cap = -(-(int(num_rows) + 1) // 1024) * 1024 + 1024
+            r_win = min(tile_items + 2048, cap)
+    r_win = max(1024, -(-int(r_win) // 1024) * 1024)
+
+    if meta_k is None:
+        if col_indices is not None:
+            from merge_spmv_tpu.ops.gather_plan import gather_meta_np
+            meta = gather_meta_np(col_indices, num_nonzeros,
+                                  k_cap=_META_K_CAP)
+            meta_k = 0 if meta is None else meta[1].shape[1]
+        else:
+            meta_k = 0
+
     return SpmvPlan(
         num_rows=int(num_rows),
         num_cols=int(num_cols),
@@ -139,4 +176,6 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
         backend=resolved,
         x_in_vmem=bool(x_in_vmem),
         num_rhs=int(num_rhs),
+        r_win=int(r_win),
+        meta_k=int(meta_k),
     )
