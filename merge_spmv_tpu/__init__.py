@@ -24,15 +24,18 @@ from merge_spmv_tpu.formats.csr import CsrMatrix
 from merge_spmv_tpu.formats.stats import GraphStats
 from merge_spmv_tpu.ops.plan import SpmvPlan, make_plan
 from merge_spmv_tpu.ops.csrmv import csrmv, csrmm
+from merge_spmv_tpu.ops.operator import SpmvOperator, build_operator
 from merge_spmv_tpu.ops.merge_path import merge_path_search, merge_tile_coordinates
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "CooMatrix",
     "CsrMatrix",
     "GraphStats",
     "SpmvPlan",
+    "SpmvOperator",
+    "build_operator",
     "make_plan",
     "csrmv",
     "csrmm",

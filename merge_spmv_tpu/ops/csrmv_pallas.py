@@ -1,4 +1,4 @@
-"""Merge-path CsrMV as a single Pallas TPU kernel (v2).
+"""Merge-path CsrMV as a single Pallas TPU kernel.
 
 TPU re-design of the reference three-kernel GPU pipeline
 (DeviceSpmvSearchKernel / DeviceSpmvKernel / DeviceSegmentFixupKernel,
@@ -18,20 +18,28 @@ cub/device/dispatch/dispatch_spmv_orig.cuh:104-224):
 * **Fix-up** (agent_segment_fixup.cuh) disappears: Pallas grid steps run
   sequentially on a TensorCore, so the partial sum of a row spanning tiles
   is carried in SMEM and folded into the tile that completes the row.
-  Completed rows form a contiguous window per tile → y updates are dense
-  masked window writes (no scatter, no atomics, no decoupled look-back).
+
+Pipeline structure (the analog of CUB's double-buffered BlockLoad): all
+input windows (values / columns / row-ends / y-base) are double-buffered —
+tile t's prologue issues the DMAs for tile t+1 — and y is maintained as a
+**rolling accumulated VMEM window**: each step shifts the persistent window
+by the retired block count (dynamic ``pltpu.roll``), merges the incoming
+y-base region, adds its completed rows, and stages an async write of the
+whole window.  Sequential grid order + serialized write DMAs make the last
+writer of every aligned block the one holding its final value, so there is
+no read-modify-write of y, no aliasing, and no atomics.
 
 Gather strategy (the performance crux, SURVEY.md §7.3): x is VMEM-resident
 as a (num_subchunks, 128) table.  For each aligned 1024-nonzero block the
-kernel visits that block's column windows (128 columns each): one dynamic
-sublane fetch + broadcast + register lane-gather + select per visit
-(~6 VPU ops per 1024 gathered elements per window).  The visited-window
-lists come from the gather plan (ops/gather_plan.py): distinct lists
-precomputed on the host at plan time, or a [lo, hi] range fallback computed
-in the jit prologue when no host metadata is available.  Matrices with
-column locality (banded FEM / stencils / most SuiteSparse graphs) touch few
-windows per block and run near memory speed; scattered columns degrade
-proportionally but remain far ahead of XLA's scalar gather path.
+kernel visits the block's 128-column windows: one dynamic sublane fetch +
+broadcast + register lane-gather + select per visit (~6 VPU ops per 1024
+gathered elements).  Visited-window lists come from the gather plan
+(ops/gather_plan.py) — distinct lists precomputed on the host at plan time
+(statically unrolled with a -1 sentinel), or a [lo, hi] range fallback
+computed in the jit prologue.  Matrices with column locality (banded FEM /
+stencils / most SuiteSparse graphs) touch few windows per block and run
+near memory speed; scattered columns degrade proportionally but remain far
+ahead of XLA's scalar gather path.
 """
 
 from __future__ import annotations
@@ -45,8 +53,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from merge_spmv_tpu.ops.gather_plan import (BLOCK, SUBCHUNK,
-                                             gather_meta_range, meta_width,
-                                             pack_tile_meta)
+                                            gather_meta_range, meta_width,
+                                            pack_tile_meta)
 from merge_spmv_tpu.ops.merge_path import merge_tile_coordinates
 from merge_spmv_tpu.ops.plan import SpmvPlan
 
@@ -54,7 +62,8 @@ __all__ = ["csrmv_pallas", "csrmm_pallas"]
 
 LANES = 128
 SUBLANES = 8
-UNROLL_K_CAP = 16   # static-unroll gather lists up to this width
+UNROLL_K_CAP = 16      # static-unroll gather lists up to this width
+ROW_UNROLL_CAP = 16    # static-unroll row-phase cumsum gathers up to this
 
 
 def _flat_iota(shape):
@@ -83,24 +92,18 @@ def _cumsum_flat(x):
     return acc + off - row_tot
 
 
-def _gather_table_1024(tbl_ref, pos, lo, hi):
-    """Gather tbl[pos] where tbl_ref is VMEM (nblocks, 8, 128) holding a
-    flat table (element e at [e>>10, (e>>7)&7, e&127]).  Scans 1024-entry
-    blocks [lo, hi] (dynamic scalars); per block composes a lane gather for
-    each of the 8 source sublanes.  pos must be pre-clamped in range."""
-    l = pos & (LANES - 1)
-    sq = pos >> 7
-
-    def body(c, acc):
-        chunk = tbl_ref[c]
-        for q in range(SUBLANES):
-            src = jnp.broadcast_to(chunk[q:q + 1, :], pos.shape)
-            g = jnp.take_along_axis(src, l, axis=1)
-            acc = acc + jnp.where(sq == c * SUBLANES + q, g, 0.0)
-        return acc
-
-    init = jnp.zeros(pos.shape, dtype=tbl_ref.dtype)
-    return jax.lax.fori_loop(lo, hi + 1, body, init)
+def _cs_chunk_visit(chunk, l, sq, c, acc, valid=None):
+    """Accumulate one 1024-entry cumsum-table chunk into the gather: lane
+    gathers from each of the chunk's 8 sublanes, selected where the target
+    position's chunk-sublane id matches."""
+    for q in range(SUBLANES):
+        src = jnp.broadcast_to(chunk[q:q + 1, :], l.shape)
+        g = jnp.take_along_axis(src, l, axis=1)
+        hit = sq == c * SUBLANES + q
+        if valid is not None:
+            hit = hit & valid
+        acc = acc + jnp.where(hit, g, 0.0)
+    return acc
 
 
 # ---------------------------------------------------------------------- #
@@ -112,54 +115,78 @@ def _spmv_kernel(
     tile_rows_ref, tile_nnz_ref,
     # inputs
     x_ref,            # VMEM (num_sub, 128): x windows, resident
-    vals_hbm, cols_hbm, rowends_hbm,
-    _ybase_alias,     # input alias of y (unused; read through y_hbm)
+    vals_hbm, cols_hbm, rowends_hbm, ybase_hbm,
     meta_ref,         # SMEM (W,): this tile's packed gather metadata
-    # output (same buffer as _ybase_alias via input_output_aliases)
+    # output
     y_hbm,
-    # scratch
-    vals_s, cols_s, rowends_s, y_s, cs_s, carry_s, sems,
+    # scratch (input windows are double-buffered: slot = t & 1)
+    vals_s, cols_s, rowends_s, ybase_s, ywin_s, ywrite_s, cs_s, carry_s,
+    sems,
     *, tile_items: int, r_win: int, num_rows: int, meta_mode: str,
-    meta_k: int,
+    meta_k: int, row_span: int, has_ybase: bool,
 ):
     T, R = tile_items, r_win
     TE = T + BLOCK
     BPT = TE // BLOCK
     K = meta_k
+    RB = R // BLOCK
     t = pl.program_id(0)
+    num_tiles = pl.num_programs(0)
+    slot = jax.lax.rem(t, 2)
+
+    def in_dmas(tile, s):
+        nnz0 = tile_nnz_ref[tile]
+        row0 = tile_rows_ref[tile]
+        annz0 = pl.multiple_of((nnz0 // BLOCK) * BLOCK, BLOCK)
+        arow0 = pl.multiple_of((row0 // BLOCK) * BLOCK, BLOCK)
+        d = [pltpu.make_async_copy(vals_hbm.at[pl.ds(annz0, TE)],
+                                   vals_s.at[pl.ds(s * TE, TE)],
+                                   sems.at[0, s]),
+             pltpu.make_async_copy(cols_hbm.at[pl.ds(annz0, TE)],
+                                   cols_s.at[pl.ds(s * TE, TE)],
+                                   sems.at[1, s]),
+             pltpu.make_async_copy(rowends_hbm.at[pl.ds(arow0, R)],
+                                   rowends_s.at[pl.ds(s * R, R)],
+                                   sems.at[2, s])]
+        if has_ybase:
+            d.append(pltpu.make_async_copy(ybase_hbm.at[pl.ds(arow0, R)],
+                                           ybase_s.at[pl.ds(s * R, R)],
+                                           sems.at[3, s]))
+        return d
+
+    def write_dma(tile, s):
+        row0 = tile_rows_ref[tile]
+        arow0 = pl.multiple_of((row0 // BLOCK) * BLOCK, BLOCK)
+        return pltpu.make_async_copy(ywrite_s.at[pl.ds(s * R, R)],
+                                     y_hbm.at[pl.ds(arow0, R)],
+                                     sems.at[4, s])
+
+    @pl.when(t == 0)
+    def _():
+        carry_s[0] = 0.0
+        for d in in_dmas(0, 0):
+            d.start()
+
+    @pl.when(t + 1 < num_tiles)
+    def _():
+        for d in in_dmas(t + 1, jax.lax.rem(t + 1, 2)):
+            d.start()
 
     nnz0 = tile_nnz_ref[t]
     nnz1 = tile_nnz_ref[t + 1]
     row0 = tile_rows_ref[t]
     row1 = tile_rows_ref[t + 1]
-    # windows aligned down to the 1024-item grid (merge coords stay exact)
     annz0 = pl.multiple_of((nnz0 // BLOCK) * BLOCK, BLOCK)
     arow0 = pl.multiple_of((row0 // BLOCK) * BLOCK, BLOCK)
     sh_n = nnz0 - annz0
     sh_r = row0 - arow0
     nloc = nnz1 - nnz0
     rows_done = row1 - row0
-    b0 = annz0 // BLOCK
-
-    dma_v = pltpu.make_async_copy(vals_hbm.at[pl.ds(annz0, TE)], vals_s,
-                                  sems.at[0])
-    dma_c = pltpu.make_async_copy(cols_hbm.at[pl.ds(annz0, TE)], cols_s,
-                                  sems.at[1])
-    dma_r = pltpu.make_async_copy(rowends_hbm.at[pl.ds(arow0, R)], rowends_s,
-                                  sems.at[2])
-    dma_y = pltpu.make_async_copy(y_hbm.at[pl.ds(arow0, R)], y_s, sems.at[3])
-    dma_c.start()
-    dma_v.start()
-    dma_r.start()
-    dma_y.start()
-
-    @pl.when(t == 0)
-    def _():
-        carry_s[0] = 0.0
 
     # --- products: p[j] = values[j] * x[col[j]] -------------------------- #
-    dma_c.wait()
-    cols2 = cols_s[:].reshape(TE // LANES, LANES)
+    cur = in_dmas(t, slot)
+    cur[1].wait()   # cols
+    cols2 = cols_s[pl.ds(slot * TE, TE)].reshape(TE // LANES, LANES)
     parts = []
     for r in range(BPT):
         cols_r = cols2[r * SUBLANES:(r + 1) * SUBLANES]
@@ -192,8 +219,8 @@ def _spmv_kernel(
         parts.append(xg)
     xg_all = jnp.concatenate(parts, axis=0)
 
-    dma_v.wait()
-    vals2 = vals_s[:].reshape(TE // LANES, LANES)
+    cur[0].wait()   # values
+    vals2 = vals_s[pl.ds(slot * TE, TE)].reshape(TE // LANES, LANES)
     flat = _flat_iota((TE // LANES, LANES))
     item_mask = (flat >= sh_n) & (flat < sh_n + nloc)
     p = jnp.where(item_mask, vals2 * xg_all, 0.0)
@@ -207,16 +234,32 @@ def _spmv_kernel(
     total = jnp.sum(jnp.where(flat == TE - 1, cs, 0.0))
 
     # --- per-row sums: first differences of cs at row-end positions ------ #
-    dma_r.wait()
-    rowe2 = rowends_s[:].reshape(R // LANES, LANES)
+    cur[2].wait()   # row ends
+    rowe2 = rowends_s[pl.ds(slot * R, R)].reshape(R // LANES, LANES)
     ends_rel = jnp.clip(rowe2 - nnz0, 0, nloc) + sh_n     # in [sh_n, sh_n+nloc]
     pos = ends_rel - 1                                    # cs_at(e) = cs[e-1]
     gparts = []
-    for j in range(R // BLOCK):
+    for j in range(RB):
         pj = jnp.clip(pos[j * SUBLANES:(j + 1) * SUBLANES], 0, TE - 1)
+        l_j = pj & (LANES - 1)
+        sq_j = pj >> 7
         lo = jnp.min(pj) >> 10
-        hi = jnp.max(pj) >> 10
-        gparts.append(_gather_table_1024(cs_s, pj, lo, hi))
+        if 0 < row_span <= ROW_UNROLL_CAP:
+            cnt = (jnp.max(pj) >> 10) - lo + 1
+            gj = jnp.zeros((SUBLANES, LANES), jnp.float32)
+            for k in range(row_span):
+                c = jnp.minimum(lo + k, BPT - 1)
+                valid = jnp.full((SUBLANES, LANES), k < cnt)
+                gj = _cs_chunk_visit(cs_s[c], l_j, sq_j, c, gj, valid)
+        else:
+            hi = jnp.max(pj) >> 10
+
+            def cbody(c, acc, l_j=l_j, sq_j=sq_j):
+                return _cs_chunk_visit(cs_s[c], l_j, sq_j, c, acc)
+
+            gj = jax.lax.fori_loop(lo, hi + 1, cbody,
+                                   jnp.zeros((SUBLANES, LANES), jnp.float32))
+        gparts.append(gj)
     cs_end = jnp.concatenate(gparts, axis=0)              # (R/128, 128)
     cs_end = jnp.where(ends_rel > 0, cs_end, 0.0)
 
@@ -246,13 +289,51 @@ def _spmv_kernel(
         jnp.where(end_last >= sh_n + nloc, 0.0, total - cs_last),
         carry_in + total)
 
-    # --- masked window write of completed rows --------------------------- #
-    dma_y.wait()
-    yb = y_s[:].reshape(R // LANES, LANES)
-    y_s[:] = jnp.where(row_mask, yb + rowsum, yb).reshape(R)
-    dma_w = pltpu.make_async_copy(y_s, y_hbm.at[pl.ds(arow0, R)], sems.at[3])
-    dma_w.start()
-    dma_w.wait()
+    # --- rolling y window: shift, merge y-base, add completed rows ------- #
+    if has_ybase:
+        cur[3].wait()
+        base = ybase_s[pl.ds(slot * R, R)].reshape(R // LANES, LANES)
+    else:
+        base = jnp.zeros((R // LANES, LANES), jnp.float32)
+
+    @pl.when(t == 0)
+    def _():
+        ywin_s[:] = base.reshape(R)
+
+    @pl.when(t > 0)
+    def _():
+        arow_prev = pl.multiple_of(
+            (tile_rows_ref[jnp.maximum(t - 1, 0)] // BLOCK) * BLOCK, BLOCK)
+        d_sub = (arow0 - arow_prev) // LANES              # multiple of 8
+        # dynamic roll is only modular-correct on power-of-2 sublane counts
+        # (hardware barrel rotate): pad rows to the next power of two
+        rb = R // LANES
+        rb2 = 1 << (rb - 1).bit_length()
+        win = ywin_s[:].reshape(rb, LANES)
+        if rb2 != rb:
+            win = jnp.concatenate(
+                [win, jnp.zeros((rb2 - rb, LANES), jnp.float32)], axis=0)
+        held = pltpu.roll(win, -d_sub, 0)[:rb]
+        rowpos = jax.lax.broadcasted_iota(jnp.int32, held.shape, 0)
+        ywin_s[:] = jnp.where(rowpos < rb - d_sub, held,
+                              base).reshape(R)
+
+    ywin = ywin_s[:].reshape(R // LANES, LANES)
+    ywin = ywin + jnp.where(row_mask, rowsum, 0.0)
+    ywin_s[:] = ywin.reshape(R)
+
+    # --- staged async write of the window -------------------------------- #
+    # serialize against the previous tile's (overlapping) write first
+    @pl.when(t > 0)
+    def _():
+        write_dma(jnp.maximum(t - 1, 0), 1 - slot).wait()
+
+    ywrite_s[pl.ds(slot * R, R)] = ywin.reshape(R)
+    write_dma(t, slot).start()
+
+    @pl.when(t == num_tiles - 1)
+    def _():
+        write_dma(t, slot).wait()
 
 
 # ---------------------------------------------------------------------- #
@@ -276,6 +357,7 @@ def _csrmv_pallas_padded(plan: SpmvPlan, values_p, cols_p, rowends_p,
     num_sub = max(1, -(-plan.num_cols // SUBCHUNK))
     K = max(1, plan.meta_k)
     meta_mode = "list" if plan.meta_k else "range"
+    has_ybase = y_base_p is not None
     W = meta_width(T, K)
 
     # Search phase: one fused searchsorted for all tile diagonals
@@ -295,39 +377,47 @@ def _csrmv_pallas_padded(plan: SpmvPlan, values_p, cols_p, rowends_p,
     # kernel scale-free; beta folds into y_base (caller).
     x_packed = _pack_x(alpha * x, num_sub)
 
+    out_len = plan.num_rows + R + BLOCK
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # x windows, resident
+        pl.BlockSpec(memory_space=pltpu.ANY),    # values
+        pl.BlockSpec(memory_space=pltpu.ANY),    # col indices
+        pl.BlockSpec(memory_space=pltpu.ANY),    # row end offsets
+        pl.BlockSpec(memory_space=pltpu.ANY),    # y base (beta*y_in)
+        pl.BlockSpec((W,), lambda t, *_: (t,),
+                     memory_space=pltpu.SMEM),   # per-tile gather meta
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # x windows, resident
-            pl.BlockSpec(memory_space=pltpu.ANY),    # values
-            pl.BlockSpec(memory_space=pltpu.ANY),    # col indices
-            pl.BlockSpec(memory_space=pltpu.ANY),    # row end offsets
-            pl.BlockSpec(memory_space=pltpu.ANY),    # y base (beta*y_in)
-            pl.BlockSpec((W,), lambda t, *_: (t,),
-                         memory_space=pltpu.SMEM),   # per-tile gather meta
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((TE,), jnp.float32),                  # values window
-            pltpu.VMEM((TE,), jnp.int32),                    # cols window
-            pltpu.VMEM((R,), jnp.int32),                     # row ends window
-            pltpu.VMEM((R,), jnp.float32),                   # y window
+            pltpu.VMEM((2 * TE,), jnp.float32),              # values windows
+            pltpu.VMEM((2 * TE,), jnp.int32),                # cols windows
+            pltpu.VMEM((2 * R,), jnp.int32),                 # row-end windows
+            pltpu.VMEM((2 * R,), jnp.float32),               # y-base windows
+            pltpu.VMEM((R,), jnp.float32),                   # rolling y window
+            pltpu.VMEM((2 * R,), jnp.float32),               # write staging
             pltpu.VMEM((BPT, SUBLANES, LANES), jnp.float32),  # cumsum table
             pltpu.SMEM((1,), jnp.float32),                   # row carry
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((5, 2)),
         ],
     )
 
     kernel = functools.partial(
         _spmv_kernel, tile_items=T, r_win=R, num_rows=plan.num_rows,
-        meta_mode=meta_mode, meta_k=K)
+        meta_mode=meta_mode, meta_k=K,
+        row_span=plan.row_span if plan.row_span else BPT,
+        has_ybase=has_ybase)
+
+    if y_base_p is None:
+        y_base_p = jnp.zeros((8,), jnp.float32)   # placeholder, never read
 
     y = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(y_base_p.shape, jnp.float32),
-        input_output_aliases={6: 0},   # y base buffer is updated in place
+        out_shape=jax.ShapeDtypeStruct((out_len,), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),   # sequential: carry chain
         ),
@@ -342,10 +432,10 @@ def csrmv_pallas(plan: SpmvPlan, values, row_end_offsets, col_indices, x,
                  meta=None):
     """y = alpha*A*x + beta*y_in via the merge-path Pallas kernel.
 
-    ``meta`` is the optional (cnt, lst) gather plan from
-    gather_plan.gather_meta_np (already padded and on device); without it a
-    per-block range plan is derived on device.  float32 path (fp64 routes
-    to the XLA backend per the plan policy; bf16 upcasts here).
+    ``meta`` is the optional packed per-tile gather plan from
+    gather_plan.pack_tile_meta_np (on device); without it a per-block range
+    plan is derived on device.  float32 path (fp64 routes to the XLA
+    backend per the plan policy; bf16 upcasts here).
     """
     T = plan.tile_items + BLOCK   # padding: one full extended window
     f32 = jnp.float32
@@ -358,10 +448,9 @@ def csrmv_pallas(plan: SpmvPlan, values, row_end_offsets, col_indices, x,
     rowends_p = jnp.pad(row_end_offsets, (0, plan.r_win + BLOCK),
                         constant_values=plan.num_nonzeros)
     if y_in is not None:
-        y_base = beta * y_in.astype(f32)
+        y_base_p = jnp.pad(beta * y_in.astype(f32), (0, plan.r_win + BLOCK))
     else:
-        y_base = jnp.zeros((plan.num_rows,), f32)
-    y_base_p = jnp.pad(y_base, (0, plan.r_win + BLOCK))
+        y_base_p = None
     y = _csrmv_pallas_padded(plan, values_p, cols_p, rowends_p,
                              x.astype(f32), y_base_p,
                              jnp.asarray(alpha, f32), meta,

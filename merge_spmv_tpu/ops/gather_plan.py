@@ -165,3 +165,16 @@ def row_window_np(row_end_offsets, num_nonzeros: int, tile_items: int) -> int:
     row1 = tile_rows[1:]
     span = int((row1 - (row0 // BLOCK) * BLOCK).max())
     return max(BLOCK, -(-span // BLOCK) * BLOCK)
+
+
+def row_span_np(row_end_offsets, num_nonzeros: int, tile_items: int) -> int:
+    """Max 1024-entry cumsum blocks any 1024-row register's end positions
+    can span — the static trip count for the row-phase gather unroll.
+    Conservative: max items consumed by any 1024 consecutive rows."""
+    rowe = np.asarray(row_end_offsets, dtype=np.int64)
+    bpt = (tile_items + BLOCK) // BLOCK
+    if len(rowe) <= BLOCK:
+        span = int(rowe[-1]) if len(rowe) else 0
+    else:
+        span = int((rowe[BLOCK:] - rowe[:-BLOCK]).max())
+    return int(min(span // BLOCK + 2, bpt))

@@ -35,8 +35,8 @@ VMEM_BYTES_PER_CORE = 16 * 1024 * 1024
 # Larger tiles amortize per-step overhead; smaller tiles cut the VMEM
 # footprint and the padding waste on small matrices.
 _DEFAULT_TILE_ITEMS = {
-    "float32": 32768,
-    "bfloat16": 32768,
+    "float32": 65536,
+    "bfloat16": 65536,
     "float64": 8192,
 }
 
@@ -66,6 +66,7 @@ class SpmvPlan:
     num_rhs: int = 1           # k for SpMM (1 = SpMV)
     r_win: int = 0             # per-tile row window (multiple of 1024)
     meta_k: int = 0            # gather-list width (0 = range fallback)
+    row_span: int = 0          # max cumsum blocks per row register (0 = BPT)
 
     @property
     def num_merge_items(self) -> int:
@@ -157,6 +158,12 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
             r_win = min(tile_items + 2048, cap)
     r_win = max(1024, -(-int(r_win) // 1024) * 1024)
 
+    if row_end_offsets is not None:
+        from merge_spmv_tpu.ops.gather_plan import row_span_np
+        row_span = row_span_np(row_end_offsets, num_nonzeros, tile_items)
+    else:
+        row_span = 0
+
     if meta_k is None:
         if col_indices is not None:
             from merge_spmv_tpu.ops.gather_plan import gather_meta_np
@@ -178,4 +185,5 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
         num_rhs=int(num_rhs),
         r_win=int(r_win),
         meta_k=int(meta_k),
+        row_span=int(row_span),
     )

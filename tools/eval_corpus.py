@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Corpus sweep: run the benchmark CLI over every .mtx in a directory.
+
+Analog of eval_csrmv.sh (eval_csrmv.sh:8-17): CSV header, then one
+``spmv_cli --quiet --mtx=<f>`` subprocess per dataset — one process per
+matrix gives crash isolation by construction, exactly like the reference
+sweep.
+
+    python tools/eval_corpus.py <mtx-dir> [--fp64] [--out results.csv]
+"""
+
+import argparse
+import glob
+import os
+import subprocess
+import sys
+
+HEADER = ("dataset, num_rows, num_cols, num_nonzeros, row_length_mean, "
+          "row_length_std_dev, row_length_variation, row_length_skewness, "
+          "backend, setup_ms, avg_ms, gflops, effective_GBs")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("mtx_dir")
+    ap.add_argument("--fp64", action="store_true")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--backends", default="merge")
+    ap.add_argument("--timeout", type=int, default=900)
+    args = ap.parse_args(argv)
+
+    files = sorted(glob.glob(os.path.join(args.mtx_dir, "*.mtx")))
+    if not files:
+        print(f"no .mtx files under {args.mtx_dir}", file=sys.stderr)
+        return 1
+
+    out = open(args.out, "w") if args.out else sys.stdout
+    print(HEADER, file=out, flush=True)
+    cli = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "spmv_cli.py")
+    for path in files:
+        name = os.path.splitext(os.path.basename(path))[0]
+        cmd = [sys.executable, cli, f"--mtx={path}", "--quiet",
+               f"--backends={args.backends}"]
+        if args.fp64:
+            cmd.append("--fp64")
+        try:
+            r = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=args.timeout)
+            line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
+            status = line if r.returncode == 0 else f"ERROR rc={r.returncode}"
+        except subprocess.TimeoutExpired:
+            status = "TIMEOUT"
+        print(f"{name}, {status}", file=out, flush=True)
+    if args.out:
+        out.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
