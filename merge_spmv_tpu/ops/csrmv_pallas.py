@@ -123,7 +123,7 @@ def _spmv_kernel(
     vals_s, cols_s, rowends_s, ybase_s, ywin_s, ywrite_s, cs_s, carry_s,
     sems,
     *, tile_items: int, r_win: int, num_rows: int, meta_mode: str,
-    meta_k: int, row_span: int, has_ybase: bool,
+    meta_k: int, meta_ks: int, row_span: int, has_ybase: bool,
 ):
     T, R = tile_items, r_win
     TE = T + BLOCK
@@ -201,11 +201,24 @@ def _spmv_kernel(
             return acc + jnp.where(sc_r == s, g, 0.0)
 
         if meta_mode == "list" and K <= UNROLL_K_CAP:
-            # static unroll: padded entries are the -1 sentinel (no match),
-            # trading a few masked visits for zero scalar-loop overhead
+            # full static unroll: padded entries are the -1 sentinel (no
+            # match), so masked visits are no-ops; a dynamic tail loop was
+            # measured strictly slower (per-register loop setup dominates)
             xg = jnp.zeros((SUBLANES, LANES), jnp.float32)
             for k in range(K):
                 xg = visit(meta_ref[BPT + r * K + k], xg)
+        elif meta_mode == "list" and meta_ks <= UNROLL_K_CAP:
+            # wide lists: unroll the visits covering ~99% of blocks, finish
+            # rare heavy blocks in a dynamic tail loop
+            xg = jnp.zeros((SUBLANES, LANES), jnp.float32)
+            for k in range(min(meta_ks, K)):
+                xg = visit(meta_ref[BPT + r * K + k], xg)
+
+            def tail(k, acc, r=r):
+                return visit(meta_ref[BPT + r * K + k], acc)
+
+            xg = jax.lax.fori_loop(
+                jnp.minimum(meta_ks, meta_ref[r]), meta_ref[r], tail, xg)
         else:
             def body(k, acc, r=r):
                 if meta_mode == "list":
@@ -408,6 +421,7 @@ def _csrmv_pallas_padded(plan: SpmvPlan, values_p, cols_p, rowends_p,
     kernel = functools.partial(
         _spmv_kernel, tile_items=T, r_win=R, num_rows=plan.num_rows,
         meta_mode=meta_mode, meta_k=K,
+        meta_ks=plan.meta_ks if plan.meta_ks else K,
         row_span=plan.row_span if plan.row_span else BPT,
         has_ybase=has_ybase)
 

@@ -32,7 +32,7 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["gather_meta_np", "gather_meta_range", "row_window_np",
-           "BLOCK", "SUBCHUNK"]
+           "static_visit_count", "BLOCK", "SUBCHUNK"]
 
 BLOCK = 1024     # nonzeros per gather block == one (8, 128) vector register
 SUBCHUNK = 128   # columns per gather window == one lane-gather table
@@ -104,6 +104,16 @@ def gather_meta_range(cols_padded, num_nonzeros: int, num_blocks: int):
     hi = sc.max(axis=1).astype(jnp.int32)
     cnt = (hi - lo + 1).astype(jnp.int32)
     return cnt, lo[:, None]
+
+
+def static_visit_count(cnt: np.ndarray, k: int) -> int:
+    """Two-tier unroll split: number of gather visits to unroll statically.
+    Covers ~99% of blocks; the rare heavy blocks take a dynamic tail loop.
+    """
+    if len(cnt) == 0:
+        return k
+    p99 = int(np.percentile(cnt, 99))
+    return int(min(k, max(1, p99)))
 
 
 def meta_width(tile_items: int, k: int) -> int:

@@ -67,6 +67,7 @@ class SpmvPlan:
     r_win: int = 0             # per-tile row window (multiple of 1024)
     meta_k: int = 0            # gather-list width (0 = range fallback)
     row_span: int = 0          # max cumsum blocks per row register (0 = BPT)
+    meta_ks: int = 0           # statically unrolled gather visits (<= meta_k)
 
     @property
     def num_merge_items(self) -> int:
@@ -164,14 +165,22 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
     else:
         row_span = 0
 
+    meta_ks = 0
     if meta_k is None:
         if col_indices is not None:
-            from merge_spmv_tpu.ops.gather_plan import gather_meta_np
+            from merge_spmv_tpu.ops.gather_plan import (gather_meta_np,
+                                                        static_visit_count)
             meta = gather_meta_np(col_indices, num_nonzeros,
                                   k_cap=_META_K_CAP)
-            meta_k = 0 if meta is None else meta[1].shape[1]
+            if meta is None:
+                meta_k = 0
+            else:
+                meta_k = meta[1].shape[1]
+                meta_ks = static_visit_count(meta[0], meta_k)
         else:
             meta_k = 0
+    else:
+        meta_ks = int(meta_k)
 
     return SpmvPlan(
         num_rows=int(num_rows),
@@ -186,4 +195,5 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
         r_win=int(r_win),
         meta_k=int(meta_k),
         row_span=int(row_span),
+        meta_ks=int(meta_ks),
     )
