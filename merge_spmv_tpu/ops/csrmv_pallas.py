@@ -62,7 +62,6 @@ __all__ = ["csrmv_pallas", "csrmm_pallas"]
 
 LANES = 128
 SUBLANES = 8
-UNROLL_K_CAP = 16      # static-unroll gather lists up to this width
 ROW_UNROLL_CAP = 16    # static-unroll row-phase cumsum gathers up to this
 
 
@@ -73,9 +72,12 @@ def _flat_iota(shape):
     return r * shape[1] + c
 
 
-def _cumsum_flat(x):
-    """Inclusive cumsum of a (R, 128) block in row-major (flat) order via
-    log-shift-add trees (Mosaic has no cumsum primitive)."""
+def _cumsum_local(x):
+    """Inclusive cumsum in row-major order *within each 8-row (1024-item)
+    block* of a (R, 128) array, via log-shift-add trees.  Keeping the
+    cumsum block-local bounds the cancellation error of the row-sum
+    differences by eps*block_total instead of eps*tile_total; the missing
+    inter-block offsets are carried in a separate prefix table."""
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     acc = x
     shift = 1
@@ -85,10 +87,10 @@ def _cumsum_flat(x):
     row_tot = jnp.broadcast_to(acc[:, -1:], x.shape)
     row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
     off = row_tot
-    shift = 1
-    while shift < x.shape[0]:
-        off = off + jnp.where(row >= shift, pltpu.roll(off, shift, 0), 0.0)
-        shift *= 2
+    for shift in (1, 2, 4):
+        # masked to (row & 7) >= shift: offsets never cross the block edge
+        off = off + jnp.where((row & 7) >= shift,
+                              pltpu.roll(off, shift, 0), 0.0)
     return acc + off - row_tot
 
 
@@ -120,10 +122,11 @@ def _spmv_kernel(
     # output
     y_hbm,
     # scratch (input windows are double-buffered: slot = t & 1)
-    vals_s, cols_s, rowends_s, ybase_s, ywin_s, ywrite_s, cs_s, carry_s,
-    sems,
+    vals_s, cols_s, rowends_s, ybase_s, ywin_s, ywrite_s, cs_s, pref_s,
+    carry_s, sems,
     *, tile_items: int, r_win: int, num_rows: int, meta_mode: str,
-    meta_k: int, meta_ks: int, row_span: int, has_ybase: bool,
+    meta_k: int, meta_gran: int, row_span: int,
+    has_ybase: bool, y_vmem: bool, y_pad: int,
 ):
     T, R = tile_items, r_win
     TE = T + BLOCK
@@ -148,7 +151,7 @@ def _spmv_kernel(
              pltpu.make_async_copy(rowends_hbm.at[pl.ds(arow0, R)],
                                    rowends_s.at[pl.ds(s * R, R)],
                                    sems.at[2, s])]
-        if has_ybase:
+        if has_ybase and not y_vmem:
             d.append(pltpu.make_async_copy(ybase_hbm.at[pl.ds(arow0, R)],
                                            ybase_s.at[pl.ds(s * R, R)],
                                            sems.at[3, s]))
@@ -193,39 +196,32 @@ def _spmv_kernel(
         l_r = cols_r & (SUBCHUNK - 1)
         sc_r = cols_r >> 7
 
-        def visit(s, acc, l_r=l_r, sc_r=sc_r):
+        def visit_fine(s, acc, l_r=l_r, sc_r=sc_r):
+            # 128-column window: one dynamic sublane fetch + lane gather
             s_safe = jnp.maximum(s, 0)
             row = x_ref[pl.ds(s_safe, 1), :]              # (1, 128)
             src = jnp.broadcast_to(row, (SUBLANES, LANES))
             g = jnp.take_along_axis(src, l_r, axis=1)
             return acc + jnp.where(sc_r == s, g, 0.0)
 
-        if meta_mode == "list" and K <= UNROLL_K_CAP:
+        def visit_coarse(c, acc, l_r=l_r, sc_r=sc_r):
+            # 1024-column chunk: compose a lane gather per chunk sublane
+            c_safe = jnp.maximum(c, 0)
+            chunk = x_ref[pl.ds(c_safe * SUBLANES, SUBLANES), :]  # (8, 128)
+            return _cs_chunk_visit(chunk, l_r, sc_r, c, acc)
+
+        visit = visit_fine if meta_gran == SUBCHUNK else visit_coarse
+
+        if meta_mode == "list":
             # full static unroll: padded entries are the -1 sentinel (no
-            # match), so masked visits are no-ops; a dynamic tail loop was
-            # measured strictly slower (per-register loop setup dominates)
+            # match), so masked visits are no-ops; dynamic loops measured
+            # ~60 cycles/iteration of pure overhead
             xg = jnp.zeros((SUBLANES, LANES), jnp.float32)
             for k in range(K):
                 xg = visit(meta_ref[BPT + r * K + k], xg)
-        elif meta_mode == "list" and meta_ks <= UNROLL_K_CAP:
-            # wide lists: unroll the visits covering ~99% of blocks, finish
-            # rare heavy blocks in a dynamic tail loop
-            xg = jnp.zeros((SUBLANES, LANES), jnp.float32)
-            for k in range(min(meta_ks, K)):
-                xg = visit(meta_ref[BPT + r * K + k], xg)
-
-            def tail(k, acc, r=r):
-                return visit(meta_ref[BPT + r * K + k], acc)
-
-            xg = jax.lax.fori_loop(
-                jnp.minimum(meta_ks, meta_ref[r]), meta_ref[r], tail, xg)
         else:
             def body(k, acc, r=r):
-                if meta_mode == "list":
-                    s = meta_ref[BPT + r * K + k]
-                else:
-                    s = meta_ref[BPT + r * K] + k
-                return visit(s, acc)
+                return visit(meta_ref[BPT + r * K] + k, acc)
 
             xg = jax.lax.fori_loop(0, meta_ref[r], body,
                                    jnp.zeros((SUBLANES, LANES), jnp.float32))
@@ -238,60 +234,95 @@ def _spmv_kernel(
     item_mask = (flat >= sh_n) & (flat < sh_n + nloc)
     p = jnp.where(item_mask, vals2 * xg_all, 0.0)
 
-    # --- inclusive cumsum over the tile's products ----------------------- #
-    cs = _cumsum_flat(p)
+    # --- block-local cumsum + exclusive block-prefix table --------------- #
+    cs = _cumsum_local(p)
     cs_s[...] = cs.reshape(BPT, SUBLANES, LANES)
-    # total must come from the same summation tree as the gathered cs values
-    # (carry_out = total - cs_last must be exactly 0.0 when a row ends on
-    # the tile boundary), so extract cs[TE-1] instead of re-summing p.
-    total = jnp.sum(jnp.where(flat == TE - 1, cs, 0.0))
+    tot = jnp.sum(p.reshape(BPT, SUBLANES * LANES), axis=1,
+                  keepdims=True)                           # (BPT, 1)
+    bi = jax.lax.broadcasted_iota(jnp.int32, (BPT, 1), 0)
+    # exclusive block-prefix tree (row sums use prefix *differences*, so
+    # rows within one block cancel the prefix exactly; spanning rows see
+    # ~eps * prefix magnitude, comparable to the in-block tree rounding)
+    pref = jnp.where(bi == 0, 0.0, pltpu.roll(tot, 1, 0))
+    shift = 1
+    while shift < BPT:
+        pref = pref + jnp.where(bi >= shift, pltpu.roll(pref, shift, 0), 0.0)
+        shift *= 2
+    pref_s[...] = jnp.broadcast_to(pref, (BPT, LANES))
+    total = jnp.sum(tot)
 
     # --- per-row sums: first differences of cs at row-end positions ------ #
     cur[2].wait()   # row ends
     rowe2 = rowends_s[pl.ds(slot * R, R)].reshape(R // LANES, LANES)
     ends_rel = jnp.clip(rowe2 - nnz0, 0, nloc) + sh_n     # in [sh_n, sh_n+nloc]
     pos = ends_rel - 1                                    # cs_at(e) = cs[e-1]
+    def pref_visit(c, cb, acc_p):
+        hit = cb == c
+        prow = jnp.broadcast_to(pref_s[pl.ds(c, 1), :], hit.shape)
+        return acc_p + jnp.where(hit, prow, 0.0)
+
     gparts = []
+    pparts = []
     for j in range(RB):
         pj = jnp.clip(pos[j * SUBLANES:(j + 1) * SUBLANES], 0, TE - 1)
         l_j = pj & (LANES - 1)
         sq_j = pj >> 7
-        lo = jnp.min(pj) >> 10
+        cb_j = pj >> 10
+        c_lo = jnp.min(pj) >> 10
+        c_hi = jnp.max(pj) >> 10
+        cnt = c_hi - c_lo + 1
+        zero = jnp.zeros((SUBLANES, LANES), jnp.float32)
         if 0 < row_span <= ROW_UNROLL_CAP:
-            cnt = (jnp.max(pj) >> 10) - lo + 1
-            gj = jnp.zeros((SUBLANES, LANES), jnp.float32)
-            for k in range(row_span):
-                c = jnp.minimum(lo + k, BPT - 1)
-                valid = jnp.full((SUBLANES, LANES), k < cnt)
-                gj = _cs_chunk_visit(cs_s[c], l_j, sq_j, c, gj, valid)
+            head = row_span            # covers every register: no tail
         else:
-            hi = jnp.max(pj) >> 10
+            head = min(4, BPT)         # skewed spans: cheap static floor
+        gj = zero
+        pj_acc = zero
+        for k in range(head):
+            c = jnp.minimum(c_lo + k, BPT - 1)
+            valid = jnp.full((SUBLANES, LANES), k < cnt)
+            gj = _cs_chunk_visit(cs_s[c], l_j, sq_j, c, gj, valid)
+            pj_acc = pref_visit(c, jnp.where(valid, cb_j, -1), pj_acc)
+        if not (0 < row_span <= ROW_UNROLL_CAP):
+            def cbody(c, acc, l_j=l_j, sq_j=sq_j, cb_j=cb_j):
+                g, ap = acc
+                g = _cs_chunk_visit(cs_s[c], l_j, sq_j, c, g)
+                return g, pref_visit(c, cb_j, ap)
 
-            def cbody(c, acc, l_j=l_j, sq_j=sq_j):
-                return _cs_chunk_visit(cs_s[c], l_j, sq_j, c, acc)
-
-            gj = jax.lax.fori_loop(lo, hi + 1, cbody,
-                                   jnp.zeros((SUBLANES, LANES), jnp.float32))
+            gj, pj_acc = jax.lax.fori_loop(
+                jnp.minimum(c_lo + head, c_hi + 1), c_hi + 1, cbody,
+                (gj, pj_acc))
         gparts.append(gj)
-    cs_end = jnp.concatenate(gparts, axis=0)              # (R/128, 128)
-    cs_end = jnp.where(ends_rel > 0, cs_end, 0.0)
+        pparts.append(pj_acc)
+    cs_end = jnp.concatenate(gparts, axis=0)              # (R/128, 128) local
+    pf_end = jnp.concatenate(pparts, axis=0)              # block prefixes
+    ends_valid = ends_rel > 0
+    cs_end = jnp.where(ends_valid, cs_end, 0.0)
+    pf_end = jnp.where(ends_valid, pf_end, 0.0)
 
     flat_r = _flat_iota((R // LANES, LANES))
-    # starts = previous row's end (flat shift right by one element)
-    prev = pltpu.roll(cs_end, 1, 1)
-    first_col = jax.lax.broadcasted_iota(jnp.int32, prev.shape, 1) == 0
-    prev_row_last = pltpu.roll(cs_end[:, -1:], 1, 0)
-    starts = jnp.where(first_col,
-                       jnp.broadcast_to(prev_row_last, prev.shape), prev)
-    starts = jnp.where(flat_r == 0, 0.0, starts)
-    rowsum = cs_end - starts
+    first_col = jax.lax.broadcasted_iota(jnp.int32, cs_end.shape, 1) == 0
+    is_first = flat_r == 0
+
+    def shift_back(a):
+        # previous row's value (flat shift right by one element)
+        prev = pltpu.roll(a, 1, 1)
+        prev_row_last = pltpu.roll(a[:, -1:], 1, 0)
+        prev = jnp.where(first_col,
+                         jnp.broadcast_to(prev_row_last, prev.shape), prev)
+        return jnp.where(is_first, 0.0, prev)
+
+    # row sum = (local_e - local_s) + (prefix_e - prefix_s): keeping the
+    # two differences separate preserves exact cancellation for rows whose
+    # start and end share a 1024-item block (the common case)
+    rowsum = (cs_end - shift_back(cs_end)) + (pf_end - shift_back(pf_end))
 
     # --- carry in / carry out (replaces the fixup kernel) ---------------- #
     carry_in = carry_s[0]
     rowsum = rowsum + jnp.where(flat_r == sh_r, carry_in, 0.0)
     row_mask = (flat_r >= sh_r) & (flat_r < sh_r + rows_done)
     last_sel = flat_r == sh_r + rows_done - 1
-    cs_last = jnp.sum(jnp.where(last_sel, cs_end, 0.0))
+    cs_last = jnp.sum(jnp.where(last_sel, cs_end + pf_end, 0.0))
     end_last = jnp.sum(jnp.where(last_sel, ends_rel, 0))
     # When the last completed row consumes every tile item, the carry must
     # be exactly 0.0 — the shift-add cumsum associates differently at
@@ -301,6 +332,30 @@ def _spmv_kernel(
         rows_done > 0,
         jnp.where(end_last >= sh_n + nloc, 0.0, total - cs_last),
         carry_in + total)
+
+    if y_vmem:
+        # --- whole y resident in VMEM: no per-tile write, no rolling ----- #
+        @pl.when(t == 0)
+        def _():
+            if has_ybase:
+                dma_b = pltpu.make_async_copy(ybase_hbm.at[pl.ds(0, y_pad)],
+                                              ywin_s, sems.at[3, 0])
+                dma_b.start()
+                dma_b.wait()
+            else:
+                ywin_s[:] = jnp.zeros((y_pad,), jnp.float32)
+
+        yw = ywin_s[pl.ds(arow0, R)].reshape(R // LANES, LANES)
+        ywin_s[pl.ds(arow0, R)] = (
+            yw + jnp.where(row_mask, rowsum, 0.0)).reshape(R)
+
+        @pl.when(t == num_tiles - 1)
+        def _():
+            dma_w = pltpu.make_async_copy(ywin_s, y_hbm.at[pl.ds(0, y_pad)],
+                                          sems.at[4, 0])
+            dma_w.start()
+            dma_w.wait()
+        return
 
     # --- rolling y window: shift, merge y-base, add completed rows ------- #
     if has_ybase:
@@ -367,9 +422,12 @@ def _csrmv_pallas_padded(plan: SpmvPlan, values_p, cols_p, rowends_p,
     TE = T + BLOCK
     BPT = TE // BLOCK
     num_tiles = plan.num_tiles
-    num_sub = max(1, -(-plan.num_cols // SUBCHUNK))
+    # x table rows padded to a whole number of 1024-column chunks so the
+    # coarse gather's (8, 128) chunk fetch never runs off the table
+    num_sub = 8 * max(1, -(-plan.num_cols // BLOCK))
     K = max(1, plan.meta_k)
     meta_mode = "list" if plan.meta_k else "range"
+    meta_gran = plan.meta_gran
     has_ybase = y_base_p is not None
     W = meta_width(T, K)
 
@@ -379,9 +437,10 @@ def _csrmv_pallas_padded(plan: SpmvPlan, values_p, cols_p, rowends_p,
         rowends_p[:plan.num_rows], plan.num_nonzeros, T)
 
     if meta is None:
-        # range fallback: per-block [lo, hi] subchunk window from cols
+        # range fallback: per-block [lo, hi] window range from cols
         nblocks = -(-plan.num_nonzeros // BLOCK)
-        rcnt, rlo = gather_meta_range(cols_p, plan.num_nonzeros, nblocks)
+        rcnt, rlo = gather_meta_range(cols_p, plan.num_nonzeros, nblocks,
+                                      shift=10 if meta_gran == 1024 else 7)
         rcnt = jnp.pad(rcnt, (0, BPT + 1))
         rlo = jnp.pad(rlo, ((0, BPT + 1), (0, 0)))
         meta = pack_tile_meta(rcnt, rlo, tile_nnz, T)
@@ -390,7 +449,9 @@ def _csrmv_pallas_padded(plan: SpmvPlan, values_p, cols_p, rowends_p,
     # kernel scale-free; beta folds into y_base (caller).
     x_packed = _pack_x(alpha * x, num_sub)
 
-    out_len = plan.num_rows + R + BLOCK
+    # multiple of 1024 so whole-buffer DMA slices stay tile-aligned
+    out_len = -(-(plan.num_rows + R + BLOCK) // BLOCK) * BLOCK
+    y_vmem = plan.y_in_vmem
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.VMEM),   # x windows, resident
         pl.BlockSpec(memory_space=pltpu.ANY),    # values
@@ -409,10 +470,14 @@ def _csrmv_pallas_padded(plan: SpmvPlan, values_p, cols_p, rowends_p,
             pltpu.VMEM((2 * TE,), jnp.float32),              # values windows
             pltpu.VMEM((2 * TE,), jnp.int32),                # cols windows
             pltpu.VMEM((2 * R,), jnp.int32),                 # row-end windows
-            pltpu.VMEM((2 * R,), jnp.float32),               # y-base windows
-            pltpu.VMEM((R,), jnp.float32),                   # rolling y window
-            pltpu.VMEM((2 * R,), jnp.float32),               # write staging
+            pltpu.VMEM((8 if y_vmem else 2 * R,),
+                       jnp.float32),                         # y-base windows
+            pltpu.VMEM((out_len if y_vmem else R,),
+                       jnp.float32),                         # y (window/full)
+            pltpu.VMEM((8 if y_vmem else 2 * R,),
+                       jnp.float32),                         # write staging
             pltpu.VMEM((BPT, SUBLANES, LANES), jnp.float32),  # cumsum table
+            pltpu.VMEM((BPT, LANES), jnp.float32),            # block prefixes
             pltpu.SMEM((1,), jnp.float32),                   # row carry
             pltpu.SemaphoreType.DMA((5, 2)),
         ],
@@ -421,9 +486,9 @@ def _csrmv_pallas_padded(plan: SpmvPlan, values_p, cols_p, rowends_p,
     kernel = functools.partial(
         _spmv_kernel, tile_items=T, r_win=R, num_rows=plan.num_rows,
         meta_mode=meta_mode, meta_k=K,
-        meta_ks=plan.meta_ks if plan.meta_ks else K,
+        meta_gran=meta_gran,
         row_span=plan.row_span if plan.row_span else BPT,
-        has_ybase=has_ybase)
+        has_ybase=has_ybase, y_vmem=y_vmem, y_pad=out_len)
 
     if y_base_p is None:
         y_base_p = jnp.zeros((8,), jnp.float32)   # placeholder, never read
@@ -459,10 +524,13 @@ def csrmv_pallas(plan: SpmvPlan, values, row_end_offsets, col_indices, x,
         cols_p = jnp.concatenate([col_indices, tail])
     else:
         cols_p = jnp.zeros((T,), jnp.int32)
-    rowends_p = jnp.pad(row_end_offsets, (0, plan.r_win + BLOCK),
+    # row-indexed arrays padded to the kernel's aligned output length
+    out_len = -(-(plan.num_rows + plan.r_win + BLOCK) // BLOCK) * BLOCK
+    rpad = out_len - plan.num_rows
+    rowends_p = jnp.pad(row_end_offsets, (0, rpad),
                         constant_values=plan.num_nonzeros)
     if y_in is not None:
-        y_base_p = jnp.pad(beta * y_in.astype(f32), (0, plan.r_win + BLOCK))
+        y_base_p = jnp.pad(beta * y_in.astype(f32), (0, rpad))
     else:
         y_base_p = None
     y = _csrmv_pallas_padded(plan, values_p, cols_p, rowends_p,
@@ -475,11 +543,29 @@ def csrmv_pallas(plan: SpmvPlan, values, row_end_offsets, col_indices, x,
 def csrmm_pallas(plan, values, row_end_offsets, col_indices, X,
                  Y_in=None, alpha=1.0, beta=0.0, interpret: bool = False,
                  meta=None):
-    """SpMM via the merge kernel, one RHS column at a time (placeholder —
-    a blocked multi-RHS kernel is the ops/csrmm roadmap item)."""
-    cols = [csrmv_pallas(plan, values, row_end_offsets, col_indices,
-                         X[:, k],
-                         None if Y_in is None else Y_in[:, k],
-                         alpha, beta, interpret, meta=meta)
-            for k in range(X.shape[1])]
+    """SpMM via the merge kernel, one RHS column at a time with the padded
+    CSR arrays and gather metadata hoisted out of the column loop (a
+    blocked multi-RHS MXU kernel is the ops/csrmm roadmap item)."""
+    T = plan.tile_items + BLOCK
+    f32 = jnp.float32
+    values_p = jnp.pad(values.astype(f32), (0, T))
+    if plan.num_nonzeros:
+        tail = jnp.broadcast_to(col_indices[-1:], (T,))
+        cols_p = jnp.concatenate([col_indices, tail])
+    else:
+        cols_p = jnp.zeros((T,), jnp.int32)
+    out_len = -(-(plan.num_rows + plan.r_win + BLOCK) // BLOCK) * BLOCK
+    rpad = out_len - plan.num_rows
+    rowends_p = jnp.pad(row_end_offsets, (0, rpad),
+                        constant_values=plan.num_nonzeros)
+    alpha = jnp.asarray(alpha, f32)
+    cols = []
+    for k in range(X.shape[1]):
+        if Y_in is not None:
+            yb = jnp.pad(beta * Y_in[:, k].astype(f32), (0, rpad))
+        else:
+            yb = None
+        cols.append(_csrmv_pallas_padded(
+            plan, values_p, cols_p, rowends_p, X[:, k].astype(f32), yb,
+            alpha, meta, bool(interpret)))
     return jnp.stack(cols, axis=1)

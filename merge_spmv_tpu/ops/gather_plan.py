@@ -32,7 +32,7 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["gather_meta_np", "gather_meta_range", "row_window_np",
-           "static_visit_count", "BLOCK", "SUBCHUNK"]
+           "BLOCK", "SUBCHUNK"]
 
 BLOCK = 1024     # nonzeros per gather block == one (8, 128) vector register
 SUBCHUNK = 128   # columns per gather window == one lane-gather table
@@ -50,8 +50,12 @@ def _pad_blocks(ids: np.ndarray, num_blocks: int) -> np.ndarray:
 
 
 def gather_meta_np(col_indices, num_nonzeros: int, pad_blocks: int = 0,
-                   k_cap: int | None = None):
-    """Distinct-subchunk lists per 1024-nnz block.
+                   k_cap: int | None = None, shift: int = 7):
+    """Distinct gather-window lists per 1024-nnz block.
+
+    ``shift`` selects the window granularity: 7 → 128-column subchunks
+    (one lane-gather per visit), 10 → 1024-column chunks (compose-8 per
+    visit; fewer visits for scattered columns).
 
     Returns (cnt, lst): cnt[b] = number of distinct windows of block b,
     lst[b, :cnt[b]] = their ids ascending; K = lst.shape[1] = max(cnt).
@@ -61,7 +65,7 @@ def gather_meta_np(col_indices, num_nonzeros: int, pad_blocks: int = 0,
     """
     cols = np.asarray(col_indices[:num_nonzeros], dtype=np.int64)
     nb = max(1, -(-num_nonzeros // BLOCK))
-    sc = _pad_blocks(cols >> 7, nb).astype(np.int32)
+    sc = _pad_blocks(cols >> shift, nb).astype(np.int32)
     sc.sort(axis=1)
     first = np.ones_like(sc, dtype=bool)
     first[:, 1:] = sc[:, 1:] != sc[:, :-1]
@@ -83,7 +87,8 @@ def gather_meta_np(col_indices, num_nonzeros: int, pad_blocks: int = 0,
     return cnt, lst
 
 
-def gather_meta_range(cols_padded, num_nonzeros: int, num_blocks: int):
+def gather_meta_range(cols_padded, num_nonzeros: int, num_blocks: int,
+                      shift: int = 10):
     """Device (jit-traceable) range metadata: cnt[b] = hi-lo+1, lst[b,0]=lo.
 
     ``cols_padded`` must be padded to at least num_blocks*BLOCK entries with
@@ -92,7 +97,8 @@ def gather_meta_range(cols_padded, num_nonzeros: int, num_blocks: int):
     """
     import jax.numpy as jnp
 
-    sc = (cols_padded[:num_blocks * BLOCK] >> 7).reshape(num_blocks, BLOCK)
+    sc = (cols_padded[:num_blocks * BLOCK] >> shift).reshape(num_blocks,
+                                                             BLOCK)
     if num_nonzeros < num_blocks * BLOCK:
         # mask padding in the final block to the block's first valid entry
         j = jnp.arange(num_blocks * BLOCK, dtype=jnp.int32).reshape(
@@ -104,16 +110,6 @@ def gather_meta_range(cols_padded, num_nonzeros: int, num_blocks: int):
     hi = sc.max(axis=1).astype(jnp.int32)
     cnt = (hi - lo + 1).astype(jnp.int32)
     return cnt, lo[:, None]
-
-
-def static_visit_count(cnt: np.ndarray, k: int) -> int:
-    """Two-tier unroll split: number of gather visits to unroll statically.
-    Covers ~99% of blocks; the rare heavy blocks take a dynamic tail loop.
-    """
-    if len(cnt) == 0:
-        return k
-    p99 = int(np.percentile(cnt, 99))
-    return int(min(k, max(1, p99)))
 
 
 def meta_width(tile_items: int, k: int) -> int:

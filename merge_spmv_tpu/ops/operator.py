@@ -78,7 +78,8 @@ def build_operator(csr, dtype="float32", backend: str = "auto",
     if plan.backend == "pallas" and plan.meta_k:
         bpt = (plan.tile_items + 1024) // 1024 + 1
         cnt, lst = gather_meta_np(csr.col_indices, csr.num_nonzeros,
-                                  pad_blocks=bpt)
+                                  pad_blocks=bpt,
+                                  shift=10 if plan.meta_gran == 1024 else 7)
         assert lst.shape[1] == plan.meta_k
         _, tile_nnz = merge_tile_coordinates_np(
             csr.row_offsets[1:], csr.num_nonzeros, plan.tile_items)

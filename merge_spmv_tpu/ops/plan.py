@@ -40,9 +40,12 @@ _DEFAULT_TILE_ITEMS = {
     "float64": 8192,
 }
 
-# Max distinct gather windows per block the kernel keeps as explicit lists
-# (SMEM budget); above this the plan falls back to per-block range scans.
-_META_K_CAP = 128
+# Static-unroll caps for gather-window lists (instruction-count budget):
+# fine 128-column windows (1 lane gather each) vs coarse 1024-column chunks
+# (8-step compose each).  Blocks above both fall back to a dynamic range
+# walk over 1024-column chunks.
+_K_CAP_FINE = 16
+_K_CAP_COARSE = 12
 
 
 def _dtype_name(dtype) -> str:
@@ -67,7 +70,8 @@ class SpmvPlan:
     r_win: int = 0             # per-tile row window (multiple of 1024)
     meta_k: int = 0            # gather-list width (0 = range fallback)
     row_span: int = 0          # max cumsum blocks per row register (0 = BPT)
-    meta_ks: int = 0           # statically unrolled gather visits (<= meta_k)
+    meta_gran: int = 128       # gather window granularity (128 | 1024 cols)
+    y_in_vmem: bool = False    # whole y VMEM-resident (one final write DMA)
 
     @property
     def num_merge_items(self) -> int:
@@ -121,6 +125,9 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
     # working set.  Budget x at half of VMEM.
     x_bytes = num_cols * vs * num_rhs
     x_in_vmem = x_bytes <= vmem_bytes // 2
+    # y residency: keeping the whole output in VMEM removes the per-tile
+    # write DMA + rolling-window shift (one final write instead)
+    y_in_vmem = x_bytes + num_rows * 4 <= (vmem_bytes * 5) // 8
 
     if tile_items is None:
         tile_items = _DEFAULT_TILE_ITEMS.get(dname, 8192)
@@ -165,22 +172,20 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
     else:
         row_span = 0
 
-    meta_ks = 0
+    meta_gran = 128
     if meta_k is None:
         if col_indices is not None:
-            from merge_spmv_tpu.ops.gather_plan import (gather_meta_np,
-                                                        static_visit_count)
+            from merge_spmv_tpu.ops.gather_plan import gather_meta_np
             meta = gather_meta_np(col_indices, num_nonzeros,
-                                  k_cap=_META_K_CAP)
+                                  k_cap=_K_CAP_FINE, shift=7)
             if meta is None:
-                meta_k = 0
-            else:
-                meta_k = meta[1].shape[1]
-                meta_ks = static_visit_count(meta[0], meta_k)
+                meta_gran = 1024
+                meta = gather_meta_np(col_indices, num_nonzeros,
+                                      k_cap=_K_CAP_COARSE, shift=10)
+            meta_k = 0 if meta is None else meta[1].shape[1]
         else:
             meta_k = 0
-    else:
-        meta_ks = int(meta_k)
+            meta_gran = 1024
 
     return SpmvPlan(
         num_rows=int(num_rows),
@@ -195,5 +200,6 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
         r_win=int(r_win),
         meta_k=int(meta_k),
         row_span=int(row_span),
-        meta_ks=int(meta_ks),
+        meta_gran=int(meta_gran),
+        y_in_vmem=bool(y_in_vmem),
     )

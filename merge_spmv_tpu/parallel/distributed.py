@@ -27,7 +27,7 @@ from merge_spmv_tpu.parallel.partition import MergePartition
 __all__ = ["distributed_csrmv", "distributed_csrmv_fn", "materialize_y"]
 
 
-def _local_csrmv(values, cols, rowends_local, x, nnz_max):
+def _local_csrmv_xla(values, cols, rowends_local, x, nnz_max):
     """Local segment-sum SpMV over one padded share (device code)."""
     import jax
     import jax.numpy as jnp
@@ -40,11 +40,15 @@ def _local_csrmv(values, cols, rowends_local, x, nnz_max):
 
 
 def distributed_csrmv_fn(mesh, part: MergePartition, axis: str = "shards",
-                         alpha: float = 1.0):
+                         alpha: float = 1.0, local_backend: str = "auto"):
     """Build the jitted SPMD csrmv for a fixed partition.
 
     Returns fn(values_sh, cols_sh, rowends_sh, meta_sh, x) -> y windows
     [S, rows_max] sharded along `axis`; x replicated.
+
+    ``local_backend``: the per-shard SpMV. "pallas" runs the merge-path
+    kernel on each chip (interpret mode off-TPU); "xla" the segment-sum
+    formulation; "auto" picks pallas on TPU meshes.
     """
     import jax
     import jax.numpy as jnp
@@ -55,6 +59,15 @@ def distributed_csrmv_fn(mesh, part: MergePartition, axis: str = "shards",
     nnz_max = part.nnz_max
     num_rows = part.num_rows
 
+    platform = mesh.devices.flat[0].platform
+    if local_backend == "auto":
+        local_backend = "pallas" if platform == "tpu" else "xla"
+    local_plan = None
+    if local_backend == "pallas":
+        from merge_spmv_tpu.ops.plan import make_plan
+        local_plan = make_plan(rows_max, part.num_cols, nnz_max,
+                               dtype="float32", backend="pallas")
+
     def shard_body(values, cols, rowends, meta, x):
         # shapes: [1, nnz_max], [1, rows_max], [1, 4], x replicated [C]
         values = values[0]
@@ -63,7 +76,13 @@ def distributed_csrmv_fn(mesh, part: MergePartition, axis: str = "shards",
         r0 = meta[0, 0]
         local_rows = meta[0, 2]
 
-        y_local = _local_csrmv(values, cols, rowends, alpha * x, nnz_max)
+        if local_plan is not None:
+            from merge_spmv_tpu.ops.csrmv_pallas import csrmv_pallas
+            y_local = csrmv_pallas(local_plan, values, rowends, cols,
+                                   alpha * x, interpret=platform != "tpu")
+        else:
+            y_local = _local_csrmv_xla(values, cols, rowends, alpha * x,
+                                       nnz_max)
 
         # ownership: rows [r0, r0 + owned) are mine; the spanning row (if
         # any) is the window's last row and belongs to a later shard.
@@ -102,12 +121,14 @@ def distributed_csrmv_fn(mesh, part: MergePartition, axis: str = "shards",
     mapped = jax.shard_map(
         shard_body, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
-        out_specs=P(axis))
+        out_specs=P(axis),
+        # pallas_call outputs do not carry varying-mesh-axis metadata yet
+        check_vma=False)
     return jax.jit(mapped)
 
 
 def distributed_csrmv(mesh, part: MergePartition, x, axis: str = "shards",
-                      alpha: float = 1.0):
+                      alpha: float = 1.0, local_backend: str = "auto"):
     """One-shot convenience: place shares, run, return sharded windows."""
     import jax
     import jax.numpy as jnp
@@ -115,7 +136,7 @@ def distributed_csrmv(mesh, part: MergePartition, x, axis: str = "shards",
 
     arrays = part.to_device_sharded(mesh, axis)
     xr = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P()))
-    fn = distributed_csrmv_fn(mesh, part, axis, alpha)
+    fn = distributed_csrmv_fn(mesh, part, axis, alpha, local_backend)
     return fn(*arrays, xr)
 
 

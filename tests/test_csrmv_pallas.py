@@ -98,3 +98,21 @@ def test_auto_plan_routes_pallas_on_tpu():
         assert plan.backend == "pallas"
     else:
         assert plan.backend == "xla"
+
+
+def test_csrmm_pallas_vs_gold():
+    from merge_spmv_tpu.ops.csrmv_pallas import csrmm_pallas
+
+    coo = CASES["powerlaw"]()
+    csr = CsrMatrix.from_coo(coo).astype(np.float32)
+    rs = np.random.RandomState(4)
+    csr.values = rs.uniform(0.1, 1, csr.num_nonzeros).astype(np.float32)
+    X = rs.uniform(0.1, 1, (csr.num_cols, 3)).astype(np.float32)
+    Y_in = rs.uniform(0.1, 1, (csr.num_rows, 3)).astype(np.float32)
+    plan = make_plan(csr.num_rows, csr.num_cols, csr.num_nonzeros,
+                     dtype=np.float32, tile_items=2048, backend="pallas")
+    got = csrmm_pallas(plan, *csr.to_device(dtype=np.float32),
+                       jnp.asarray(X), Y_in=jnp.asarray(Y_in),
+                       alpha=1.5, beta=0.5, interpret=INTERPRET)
+    want = csr.spmm_gold(X, Y_in, alpha=1.5, beta=0.5)
+    assert_allclose_ulp(np.asarray(got), want, context="csrmm_pallas")

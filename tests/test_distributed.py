@@ -72,3 +72,29 @@ def test_alpha_scaling():
     y = materialize_y(distributed_csrmv(mesh, part, x, alpha=2.5), part)
     gold = csr.astype(np.float32).spmv_gold(x, alpha=2.5)
     assert_allclose_ulp(y, gold, context="alpha")
+
+
+def test_distributed_pallas_local_backend():
+    """Per-shard Pallas merge kernel under shard_map (interpret on CPU)."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from merge_spmv_tpu.formats.coo import CooMatrix
+    from merge_spmv_tpu.formats.csr import CsrMatrix
+    from merge_spmv_tpu.parallel.partition import partition_csr
+    from merge_spmv_tpu.parallel.distributed import (distributed_csrmv,
+                                                     materialize_y)
+    from merge_spmv_tpu.utils.compare import assert_allclose_ulp
+
+    devs = jax.devices()[:4]
+    mesh = Mesh(np.array(devs), ("shards",))
+    csr = CsrMatrix.from_coo(
+        CooMatrix.random_powerlaw(300, 250, 2500, seed=5)).astype(np.float32)
+    rs = np.random.RandomState(1)
+    csr.values = rs.uniform(0.1, 1.0, csr.num_nonzeros).astype(np.float32)
+    x = rs.uniform(0.1, 1.0, csr.num_cols).astype(np.float32)
+    part = partition_csr(csr, 4, dtype=np.float32)
+    yw = distributed_csrmv(mesh, part, x, local_backend="pallas")
+    y = materialize_y(yw, part)
+    assert_allclose_ulp(y, csr.spmv_gold(x), context="distributed_pallas")

@@ -234,3 +234,21 @@ class TestGold:
         X = rng.rand(20, 4)
         got = csr.spmm_gold(X)
         np.testing.assert_allclose(got, csr.to_dense() @ X, rtol=1e-12)
+
+
+def test_rng_harness():
+    from merge_spmv_tpu.utils.rng import mersenne, random_bits, random_values
+
+    b0 = random_bits((100,), entropy_reduction=0, seed=1)
+    b2 = random_bits((100,), entropy_reduction=2, seed=1)
+    assert b0.dtype == np.uint32 and b2.dtype == np.uint32
+    # entropy reduction biases bits toward zero (fewer set bits on average)
+    assert np.unpackbits(b2.view(np.uint8)).sum() < \
+        np.unpackbits(b0.view(np.uint8)).sum()
+    ones = random_bits((8,), entropy_reduction=-1)
+    assert (ones == 0xFFFFFFFF).all()
+    masked = random_bits((64,), begin_bit=4, end_bit=12, seed=2)
+    assert (masked & ~np.uint32(0xFF0)).max() == 0
+    v = random_values((50,), dtype=np.float32, lo=2.0, hi=3.0, seed=3)
+    assert v.dtype == np.float32 and (v >= 2.0).all() and (v < 3.0).all()
+    assert isinstance(mersenne(0), np.random.RandomState)

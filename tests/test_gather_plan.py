@@ -64,7 +64,8 @@ def test_range_mode_covers_lists():
     nb = -(-nnz // BLOCK)
     pad = nb * BLOCK - nnz
     cols_p = np.concatenate([cols, np.full(pad, cols[-1], np.int32)])
-    cnt_r, lo_r = map(np.asarray, gather_meta_range(jnp.asarray(cols_p), nnz, nb))
+    cnt_r, lo_r = map(np.asarray,
+                      gather_meta_range(jnp.asarray(cols_p), nnz, nb, shift=7))
     cnt_l, lst_l = gather_meta_np(cols, nnz)
     for b in range(nb):
         lo, hi = lo_r[b, 0], lo_r[b, 0] + cnt_r[b] - 1
