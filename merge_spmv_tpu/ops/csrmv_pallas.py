@@ -126,7 +126,7 @@ def _spmv_kernel(
     carry_s, sems,
     *, tile_items: int, r_win: int, num_rows: int, meta_mode: str,
     meta_k: int, meta_gran: int, row_span: int,
-    has_ybase: bool, y_vmem: bool, y_pad: int,
+    has_ybase: bool, y_vmem: bool, y_pad: int, debug_skip: str = "",
 ):
     T, R = tile_items, r_win
     TE = T + BLOCK
@@ -212,6 +212,9 @@ def _spmv_kernel(
 
         visit = visit_fine if meta_gran == SUBCHUNK else visit_coarse
 
+        if "gather" in debug_skip:
+            parts.append(cols_r.astype(jnp.float32))
+            continue
         if meta_mode == "list":
             # full static unroll: padded entries are the -1 sentinel (no
             # match), so masked visits are no-ops; dynamic loops measured
@@ -235,7 +238,10 @@ def _spmv_kernel(
     p = jnp.where(item_mask, vals2 * xg_all, 0.0)
 
     # --- block-local cumsum + exclusive block-prefix table --------------- #
-    cs = _cumsum_local(p)
+    if "cumsum" in debug_skip:
+        cs = p
+    else:
+        cs = _cumsum_local(p)
     cs_s[...] = cs.reshape(BPT, SUBLANES, LANES)
     tot = jnp.sum(p.reshape(BPT, SUBLANES * LANES), axis=1,
                   keepdims=True)                           # (BPT, 1)
@@ -263,7 +269,7 @@ def _spmv_kernel(
 
     gparts = []
     pparts = []
-    for j in range(RB):
+    for j in range(RB if "rows" not in debug_skip else 0):
         pj = jnp.clip(pos[j * SUBLANES:(j + 1) * SUBLANES], 0, TE - 1)
         l_j = pj & (LANES - 1)
         sq_j = pj >> 7
@@ -294,6 +300,9 @@ def _spmv_kernel(
                 (gj, pj_acc))
         gparts.append(gj)
         pparts.append(pj_acc)
+    if "rows" in debug_skip:
+        gparts = [jnp.zeros((SUBLANES, LANES), jnp.float32)] * RB
+        pparts = list(gparts)
     cs_end = jnp.concatenate(gparts, axis=0)              # (R/128, 128) local
     pf_end = jnp.concatenate(pparts, axis=0)              # block prefixes
     ends_valid = ends_rel > 0
@@ -413,9 +422,10 @@ def _pack_x(x, num_sub):
     return jnp.pad(x, (0, pad)).reshape(num_sub, SUBCHUNK)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 8))
+@functools.partial(jax.jit, static_argnums=(0, 8, 9))
 def _csrmv_pallas_padded(plan: SpmvPlan, values_p, cols_p, rowends_p,
-                         x, y_base_p, alpha, meta, interpret):
+                         x, y_base_p, alpha, meta, interpret,
+                         debug_skip=""):
     """Inner jitted body; array inputs pre-padded (see csrmv_pallas)."""
     T = plan.tile_items
     R = plan.r_win
@@ -488,7 +498,8 @@ def _csrmv_pallas_padded(plan: SpmvPlan, values_p, cols_p, rowends_p,
         meta_mode=meta_mode, meta_k=K,
         meta_gran=meta_gran,
         row_span=plan.row_span if plan.row_span else BPT,
-        has_ybase=has_ybase, y_vmem=y_vmem, y_pad=out_len)
+        has_ybase=has_ybase, y_vmem=y_vmem, y_pad=out_len,
+        debug_skip=debug_skip)
 
     if y_base_p is None:
         y_base_p = jnp.zeros((8,), jnp.float32)   # placeholder, never read
@@ -508,7 +519,7 @@ def _csrmv_pallas_padded(plan: SpmvPlan, values_p, cols_p, rowends_p,
 
 def csrmv_pallas(plan: SpmvPlan, values, row_end_offsets, col_indices, x,
                  y_in=None, alpha=1.0, beta=0.0, interpret: bool = False,
-                 meta=None):
+                 meta=None, debug_skip: str = ""):
     """y = alpha*A*x + beta*y_in via the merge-path Pallas kernel.
 
     ``meta`` is the optional packed per-tile gather plan from
@@ -536,7 +547,7 @@ def csrmv_pallas(plan: SpmvPlan, values, row_end_offsets, col_indices, x,
     y = _csrmv_pallas_padded(plan, values_p, cols_p, rowends_p,
                              x.astype(f32), y_base_p,
                              jnp.asarray(alpha, f32), meta,
-                             bool(interpret))
+                             bool(interpret), debug_skip)
     return y
 
 
