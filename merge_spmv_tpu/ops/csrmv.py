@@ -32,12 +32,43 @@ def _jitted_csrmv(plan: SpmvPlan, has_y_in: bool, has_meta: bool,
         from merge_spmv_tpu.ops import csrmv_pallas as _pallas
         kernel = functools.partial(_pallas.csrmv_pallas, plan,
                                    interpret=interpret)
+    elif plan.backend == "pallas_ds":
+        import dataclasses
+
+        from merge_spmv_tpu.ops import csrmv_pallas as _pallas
+        plan32 = dataclasses.replace(plan, dtype="float32",
+                                     backend="pallas")
+        base = functools.partial(_pallas.csrmv_pallas, plan32,
+                                 interpret=interpret)
+
+        def kernel(values, row_end_offsets, col_indices, x, y_in, alpha,
+                   beta, meta):
+            # double-single split: fp64 operands become hi+lo fp32 pairs;
+            # y = A_hi x_hi + A_hi x_lo + A_lo x_hi keeps products accurate
+            # to ~2^-48 (accumulation is fp32 — the reference itself only
+            # verifies fp64 to fp32 ULP distance, utils.h:726-728)
+            v_hi = values.astype(jnp.float32)
+            v_lo = (values - v_hi.astype(values.dtype)).astype(jnp.float32)
+            x_hi = x.astype(jnp.float32)
+            x_lo = (x - x_hi.astype(x.dtype)).astype(jnp.float32)
+            y = base(v_hi, row_end_offsets, col_indices, x_hi, meta=meta)
+            y = base(v_hi, row_end_offsets, col_indices, x_lo,
+                     y_in=y, beta=1.0, meta=meta)
+            y = base(v_lo, row_end_offsets, col_indices, x_hi,
+                     y_in=y, beta=1.0, meta=meta)
+            y = (alpha * y).astype(values.dtype)
+            if y_in is not None:
+                y = y + beta * y_in
+            return y
     else:
         kernel = None
 
     def run(values, row_end_offsets, col_indices, x, y_in, alpha, beta,
             meta):
         if kernel is not None:
+            if plan.backend == "pallas_ds":
+                return kernel(values, row_end_offsets, col_indices, x,
+                              y_in, alpha, beta, meta)
             return kernel(values, row_end_offsets, col_indices, x,
                           y_in=y_in, alpha=alpha, beta=beta, meta=meta)
         return _xla.csrmv_xla(values, row_end_offsets, col_indices, x,

@@ -135,7 +135,7 @@ def _spmv_kernel(
     RB = R // BLOCK
     t = pl.program_id(0)
     num_tiles = pl.num_programs(0)
-    slot = jax.lax.rem(t, 2)
+    slot = jax.lax.rem(t, jnp.int32(2))
 
     def in_dmas(tile, s):
         nnz0 = tile_nnz_ref[tile]
@@ -172,7 +172,7 @@ def _spmv_kernel(
 
     @pl.when(t + 1 < num_tiles)
     def _():
-        for d in in_dmas(t + 1, jax.lax.rem(t + 1, 2)):
+        for d in in_dmas(t + 1, jax.lax.rem(t + 1, jnp.int32(2))):
             d.start()
 
     nnz0 = tile_nnz_ref[t]
@@ -332,7 +332,10 @@ def _spmv_kernel(
     row_mask = (flat_r >= sh_r) & (flat_r < sh_r + rows_done)
     last_sel = flat_r == sh_r + rows_done - 1
     cs_last = jnp.sum(jnp.where(last_sel, cs_end + pf_end, 0.0))
-    end_last = jnp.sum(jnp.where(last_sel, ends_rel, 0))
+    # max instead of sum: integer reductions promote to int64 under
+    # jax_enable_x64, which Mosaic cannot lower (exactly one position is
+    # selected, so max == sum here)
+    end_last = jnp.max(jnp.where(last_sel, ends_rel, jnp.int32(-1)))
     # When the last completed row consumes every tile item, the carry must
     # be exactly 0.0 — the shift-add cumsum associates differently at
     # different positions, so total - cs_last could leak an epsilon into
@@ -544,10 +547,13 @@ def csrmv_pallas(plan: SpmvPlan, values, row_end_offsets, col_indices, x,
         y_base_p = jnp.pad(beta * y_in.astype(f32), (0, rpad))
     else:
         y_base_p = None
-    y = _csrmv_pallas_padded(plan, values_p, cols_p, rowends_p,
-                             x.astype(f32), y_base_p,
-                             jnp.asarray(alpha, f32), meta,
-                             bool(interpret), debug_skip)
+    # the kernel is an x32 program: shield its trace from jax_enable_x64
+    # (int64 literals send Mosaic lowering into unbounded recursion)
+    with jax.enable_x64(False):
+        y = _csrmv_pallas_padded(plan, values_p, cols_p, rowends_p,
+                                 x.astype(f32), y_base_p,
+                                 jnp.asarray(alpha, f32), meta,
+                                 bool(interpret), debug_skip)
     return y
 
 

@@ -75,7 +75,7 @@ def build_operator(csr, dtype="float32", backend: str = "auto",
                      col_indices=csr.col_indices)
     values, rowends, cols = csr.to_device(dtype=plan.dtype)
     meta = None
-    if plan.backend == "pallas" and plan.meta_k:
+    if plan.backend in ("pallas", "pallas_ds") and plan.meta_k:
         bpt = (plan.tile_items + 1024) // 1024 + 1
         cnt, lst = gather_meta_np(csr.col_indices, csr.num_nonzeros,
                                   pad_blocks=bpt,

@@ -37,7 +37,7 @@ VMEM_BYTES_PER_CORE = 16 * 1024 * 1024
 _DEFAULT_TILE_ITEMS = {
     "float32": 65536,
     "bfloat16": 65536,
-    "float64": 8192,
+    "float64": 65536,   # double-single route: three fp32 kernel passes
 }
 
 # Static-unroll caps for gather-window lists (instruction-count budget):
@@ -108,8 +108,11 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
 
     backend="auto" picks the Pallas merge kernel when the platform supports
     it and x fits in VMEM, else the XLA segment-sum formulation.  The 1-wide
-    degenerate case (num_cols == 1, dispatch_spmv_orig.cuh:566-593) and
-    fp64 (not natively supported by the TPU vector units) also route to XLA.
+    degenerate case (num_cols == 1, dispatch_spmv_orig.cuh:566-593) routes
+    to XLA; fp64 (not native on the TPU vector units) routes to
+    "pallas_ds" — a double-single split running three fp32 merge kernels
+    (products accurate to ~2^-48; fp32 accumulation, the same tolerance
+    level the reference verifies fp64 at, utils.h:726-728).
 
     Passing the host CSR arrays (``row_end_offsets``, ``col_indices``)
     tightens the static kernel knobs: ``r_win`` (per-tile row window from
@@ -143,7 +146,7 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
         platform = jax.default_backend()
         pallas_ok = (
             platform == "tpu"
-            and dname in ("float32", "bfloat16")
+            and dname in ("float32", "bfloat16", "float64")
             and x_in_vmem
             and num_cols > 1
             and num_nonzeros > 0
@@ -153,7 +156,12 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
                 from merge_spmv_tpu.ops import csrmv_pallas  # noqa: F401
             except ImportError:
                 pallas_ok = False
-        resolved = "pallas" if pallas_ok else "xla"
+        if not pallas_ok:
+            resolved = "xla"
+        elif dname == "float64":
+            resolved = "pallas_ds"
+        else:
+            resolved = "pallas"
 
     if r_win is None:
         if row_end_offsets is not None:

@@ -116,3 +116,43 @@ def test_csrmm_pallas_vs_gold():
                        alpha=1.5, beta=0.5, interpret=INTERPRET)
     want = csr.spmm_gold(X, Y_in, alpha=1.5, beta=0.5)
     assert_allclose_ulp(np.asarray(got), want, context="csrmm_pallas")
+
+
+def test_fp64_double_single_route():
+    """fp64 routes through three fp32 merge-kernel passes (pallas_ds);
+    verified at the reference's fp64 tolerance level (fp32 ULP,
+    utils.h:726-728)."""
+    import jax
+
+    from merge_spmv_tpu.ops.csrmv import csrmv
+
+    with jax.enable_x64(True):
+        coo = CASES["powerlaw"]()
+        csr = CsrMatrix.from_coo(coo)
+        rs = np.random.RandomState(7)
+        csr.values = rs.uniform(0.1, 1, csr.num_nonzeros)  # float64
+        x = rs.uniform(0.1, 1, csr.num_cols)
+        plan = make_plan(csr.num_rows, csr.num_cols, csr.num_nonzeros,
+                         dtype=np.float64, tile_items=2048,
+                         backend="pallas_ds")
+        v, re_, ci = csr.to_device(dtype=np.float64)
+        assert v.dtype == jnp.float64
+        y = csrmv(plan, v, re_, ci, jnp.asarray(x), interpret=INTERPRET)
+        assert y.dtype == jnp.float64
+        gold = csr.spmv_gold(x)
+        # products carry ~2^-48 accuracy; accumulation is fp32 — compare
+        # at fp32 ULP like the reference comparator does for fp64
+        assert_allclose_ulp(np.asarray(y).astype(np.float32),
+                            gold.astype(np.float32), context="pallas_ds")
+        # double-single beats plain fp32: check the lo-word mattered
+        y32 = csrmv(dataclasses_replace32(plan), v.astype(jnp.float32),
+                    re_, ci, jnp.asarray(x).astype(jnp.float32),
+                    interpret=INTERPRET)
+        err_ds = np.abs(np.asarray(y) - gold).max()
+        err_32 = np.abs(np.asarray(y32).astype(np.float64) - gold).max()
+        assert err_ds <= err_32 * 1.5 + 1e-12
+
+
+def dataclasses_replace32(plan):
+    import dataclasses
+    return dataclasses.replace(plan, dtype="float32", backend="pallas")
