@@ -132,9 +132,14 @@ def _bench_device_backend(backend, csr, x, gold, args):
 
     alpha = args.get("alpha", 1.0)
 
+    import jax.numpy as jnp
+
     def step(xc):
+        # every element of xc depends on yc so no step can be elided
         yc = op(xc, alpha=alpha)
-        return xc + yc * 1e-20
+        if csr.num_rows >= csr.num_cols:
+            return xc + yc[:csr.num_cols] * 1e-20
+        return xc + jnp.pad(yc, (0, csr.num_cols - csr.num_rows)) * 1e-20
 
     step = jax.jit(step)
     avg_ms = chained_rate_ms(step, xd, n1=n1, n2=n2)
