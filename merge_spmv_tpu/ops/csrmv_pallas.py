@@ -114,19 +114,21 @@ def _cs_chunk_visit(chunk, l, sq, c, acc, valid=None):
 
 def _spmv_kernel(
     # scalar prefetch
-    tile_rows_ref, tile_nnz_ref,
+    tile_rows_ref, tile_nnz_ref, cbase_ref,
     # inputs
-    x_ref,            # VMEM (num_sub, 128): x windows, resident
+    x_ref,            # (num_sub, 128): x table (VMEM resident, or HBM
+                      # when streamed through per-tile windows)
     vals_hbm, cols_hbm, rowends_hbm, ybase_hbm,
     meta_ref,         # SMEM (W,): this tile's packed gather metadata
     # output
     y_hbm,
     # scratch (input windows are double-buffered: slot = t & 1)
-    vals_s, cols_s, rowends_s, ybase_s, ywin_s, ywrite_s, cs_s, pref_s,
-    carry_s, sems,
+    vals_s, cols_s, rowends_s, ybase_s, ywin_s, ywrite_s, xflat_s, xwin_s,
+    cs_s, pref_s, carry_s, sems, xsems,
     *, tile_items: int, r_win: int, num_rows: int, meta_mode: str,
     meta_k: int, meta_gran: int, row_span: int,
-    has_ybase: bool, y_vmem: bool, y_pad: int, debug_skip: str = "",
+    has_ybase: bool, y_vmem: bool, y_pad: int, x_win: int,
+    debug_skip: str = "",
 ):
     T, R = tile_items, r_win
     TE = T + BLOCK
@@ -155,6 +157,17 @@ def _spmv_kernel(
             d.append(pltpu.make_async_copy(ybase_hbm.at[pl.ds(arow0, R)],
                                            ybase_s.at[pl.ds(s * R, R)],
                                            sems.at[3, s]))
+        if x_win and "xdma" not in debug_skip:
+            # 1D flat transfer: 2D row-sliced DMAs from jit-computed HBM
+            # buffers crash the runtime (layout mismatch); both sides of
+            # the flat copy are 1024-aligned
+            cb = cbase_ref[tile]
+            src_off = pl.multiple_of(cb * LANES, BLOCK)   # cb is 8-aligned
+            dst_off = pl.multiple_of(s * x_win * LANES, BLOCK)
+            d.append(pltpu.make_async_copy(
+                x_ref.at[pl.ds(src_off, x_win * LANES)],
+                xflat_s.at[pl.ds(dst_off, x_win * LANES)],
+                xsems.at[s]))
         return d
 
     def write_dma(tile, s):
@@ -196,18 +209,27 @@ def _spmv_kernel(
         l_r = cols_r & (SUBCHUNK - 1)
         sc_r = cols_r >> 7
 
+        if x_win:
+            cb_t = cbase_ref[t]
+
+            def x_rows(sub, count):
+                # window-relative fetch from this tile's streamed x slice
+                rel = jnp.clip(sub - cb_t, 0, x_win - count)
+                return xwin_s[pl.ds(rel, count), :]
+        else:
+            def x_rows(sub, count):
+                return x_ref[pl.ds(jnp.maximum(sub, 0), count), :]
+
         def visit_fine(s, acc, l_r=l_r, sc_r=sc_r):
             # 128-column window: one dynamic sublane fetch + lane gather
-            s_safe = jnp.maximum(s, 0)
-            row = x_ref[pl.ds(s_safe, 1), :]              # (1, 128)
+            row = x_rows(s, 1)                            # (1, 128)
             src = jnp.broadcast_to(row, (SUBLANES, LANES))
             g = jnp.take_along_axis(src, l_r, axis=1)
             return acc + jnp.where(sc_r == s, g, 0.0)
 
         def visit_coarse(c, acc, l_r=l_r, sc_r=sc_r):
             # 1024-column chunk: compose a lane gather per chunk sublane
-            c_safe = jnp.maximum(c, 0)
-            chunk = x_ref[pl.ds(c_safe * SUBLANES, SUBLANES), :]  # (8, 128)
+            chunk = x_rows(c * SUBLANES, SUBLANES)        # (8, 128)
             return _cs_chunk_visit(chunk, l_r, sc_r, c, acc)
 
         visit = visit_fine if meta_gran == SUBCHUNK else visit_coarse
@@ -420,9 +442,10 @@ def _spmv_kernel(
 # Host-side wrapper
 # ---------------------------------------------------------------------- #
 
-def _pack_x(x, num_sub):
+def _pack_x(x, num_sub, flat=False):
     pad = num_sub * SUBCHUNK - x.shape[0]
-    return jnp.pad(x, (0, pad)).reshape(num_sub, SUBCHUNK)
+    xp = jnp.pad(x, (0, pad))
+    return xp if flat else xp.reshape(num_sub, SUBCHUNK)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 8, 9))
@@ -449,6 +472,9 @@ def _csrmv_pallas_padded(plan: SpmvPlan, values_p, cols_p, rowends_p,
     tile_rows, tile_nnz = merge_tile_coordinates(
         rowends_p[:plan.num_rows], plan.num_nonzeros, T)
 
+    cbase = None
+    if isinstance(meta, tuple):
+        meta, cbase = meta
     if meta is None:
         # range fallback: per-block [lo, hi] window range from cols
         nblocks = -(-plan.num_nonzeros // BLOCK)
@@ -457,16 +483,28 @@ def _csrmv_pallas_padded(plan: SpmvPlan, values_p, cols_p, rowends_p,
         rcnt = jnp.pad(rcnt, (0, BPT + 1))
         rlo = jnp.pad(rlo, ((0, BPT + 1), (0, 0)))
         meta = pack_tile_meta(rcnt, rlo, tile_nnz, T)
+        if plan.x_win and cbase is None:
+            b0 = tile_nnz[:-1] // BLOCK
+            idx = jnp.minimum(b0[:, None] + jnp.arange(BPT, dtype=jnp.int32),
+                              rlo.shape[0] - 1)
+            lo_sub = jnp.take(rlo[:, 0], idx, axis=0).min(axis=1) * 8
+            cbase = jnp.pad((lo_sub // 8) * 8, (0, 1))
+    if plan.x_win and cbase is None:
+        raise ValueError("x-window plans need the operator's cbase metadata")
+    if cbase is None:
+        cbase = jnp.zeros((num_tiles + 1,), jnp.int32)
+    cbase = cbase.astype(jnp.int32)
 
     # alpha folds into x (p[j] = v[j] * (alpha*x)[col[j]]), keeping the
     # kernel scale-free; beta folds into y_base (caller).
-    x_packed = _pack_x(alpha * x, num_sub)
+    x_packed = _pack_x(alpha * x, num_sub, flat=bool(plan.x_win))
 
     # multiple of 1024 so whole-buffer DMA slices stay tile-aligned
     out_len = -(-(plan.num_rows + R + BLOCK) // BLOCK) * BLOCK
     y_vmem = plan.y_in_vmem
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.VMEM),   # x windows, resident
+        pl.BlockSpec(memory_space=pltpu.HBM if plan.x_win
+                     else pltpu.VMEM),           # x table
         pl.BlockSpec(memory_space=pltpu.ANY),    # values
         pl.BlockSpec(memory_space=pltpu.ANY),    # col indices
         pl.BlockSpec(memory_space=pltpu.ANY),    # row end offsets
@@ -475,7 +513,7 @@ def _csrmv_pallas_padded(plan: SpmvPlan, values_p, cols_p, rowends_p,
                      memory_space=pltpu.SMEM),   # per-tile gather meta
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
@@ -489,10 +527,15 @@ def _csrmv_pallas_padded(plan: SpmvPlan, values_p, cols_p, rowends_p,
                        jnp.float32),                         # y (window/full)
             pltpu.VMEM((8 if y_vmem else 2 * R,),
                        jnp.float32),                         # write staging
+            pltpu.VMEM((max(2 * plan.x_win * LANES, 8),),
+                       jnp.float32),                         # x window stage
+            pltpu.VMEM((max(plan.x_win, 8), LANES),
+                       jnp.float32),                         # x window table
             pltpu.VMEM((BPT, SUBLANES, LANES), jnp.float32),  # cumsum table
             pltpu.VMEM((BPT, LANES), jnp.float32),            # block prefixes
             pltpu.SMEM((1,), jnp.float32),                   # row carry
             pltpu.SemaphoreType.DMA((5, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
@@ -502,7 +545,7 @@ def _csrmv_pallas_padded(plan: SpmvPlan, values_p, cols_p, rowends_p,
         meta_gran=meta_gran,
         row_span=plan.row_span if plan.row_span else BPT,
         has_ybase=has_ybase, y_vmem=y_vmem, y_pad=out_len,
-        debug_skip=debug_skip)
+        x_win=plan.x_win, debug_skip=debug_skip)
 
     if y_base_p is None:
         y_base_p = jnp.zeros((8,), jnp.float32)   # placeholder, never read
@@ -515,8 +558,8 @@ def _csrmv_pallas_padded(plan: SpmvPlan, values_p, cols_p, rowends_p,
             dimension_semantics=("arbitrary",),   # sequential: carry chain
         ),
         interpret=bool(interpret),
-    )(tile_rows, tile_nnz, x_packed, values_p, cols_p, rowends_p, y_base_p,
-      meta)
+    )(tile_rows, tile_nnz, cbase, x_packed, values_p, cols_p, rowends_p,
+      y_base_p, meta)
     return y[:plan.num_rows]
 
 

@@ -157,6 +157,51 @@ def pack_tile_meta(cnt, lst, tile_nnz, tile_items: int):
     return meta.ravel()
 
 
+def tile_col_windows_np(col_indices, num_nonzeros: int, tile_items: int):
+    """Per-tile x-window bases for streaming mode (x larger than VMEM).
+
+    Returns (cbase_sub[num_tiles + 1], x_win_sub): for tile t the kernel
+    DMAs x rows [cbase_sub[t], cbase_sub[t] + x_win_sub) of the packed
+    (num_sub, 128) x table — covering every column any of the tile's
+    blocks touches.  Bases are 8-subchunk (1024-column) aligned so coarse
+    chunk visits stay aligned.  Only useful when the matrix has column
+    locality; the plan rejects the mode if the window would not fit VMEM.
+    """
+    cols = np.asarray(col_indices[:num_nonzeros], dtype=np.int64)
+    nb = max(1, -(-num_nonzeros // BLOCK))
+    sc = _pad_blocks(cols >> 7, nb).astype(np.int64)
+    bmin = sc.min(axis=1)
+    bmax = sc.max(axis=1)
+    bpt = (tile_items + BLOCK) // BLOCK
+    from merge_spmv_tpu.ops.merge_path import num_merge_tiles
+    # tile t covers blocks [tile_nnz[t]//BLOCK, +bpt) — computed by caller;
+    # here we take a sliding window-min/max over bpt consecutive blocks
+    pad = np.full(bpt, 2**31, np.int64)
+    bmin_p = np.concatenate([bmin, pad])
+    bmax_p = np.concatenate([bmax, -pad])
+    win_min = np.stack([bmin_p[i:i + nb] for i in range(bpt)]).min(axis=0)
+    win_max = np.stack([bmax_p[i:i + nb] for i in range(bpt)]).max(axis=0)
+    return win_min, win_max
+
+
+def tile_col_meta_np(col_indices, num_nonzeros: int, row_end_offsets,
+                     tile_items: int):
+    """(cbase_sub[num_tiles + 1] int32, x_win_sub int) for the plan."""
+    from merge_spmv_tpu.ops.merge_path import merge_tile_coordinates_np
+
+    _, tile_nnz = merge_tile_coordinates_np(row_end_offsets, num_nonzeros,
+                                            tile_items)
+    win_min, win_max = tile_col_windows_np(col_indices, num_nonzeros,
+                                           tile_items)
+    b0 = np.asarray(tile_nnz[:-1], np.int64) // BLOCK
+    b0 = np.minimum(b0, len(win_min) - 1)
+    cmin = (win_min[b0] // 8) * 8                     # 1024-col aligned
+    span = win_max[b0] - cmin + 1
+    x_win_sub = int(-(-int(span.max()) // 8) * 8) if len(span) else 8
+    cbase = np.concatenate([cmin, [0]]).astype(np.int32)
+    return cbase, max(8, x_win_sub)
+
+
 def row_window_np(row_end_offsets, num_nonzeros: int, tile_items: int) -> int:
     """Static row-window size R: max over tiles of (row1 - align1024(row0)),
     rounded up to 1024.  Bounds the per-tile y/row-offsets DMA windows so

@@ -85,4 +85,10 @@ def build_operator(csr, dtype="float32", backend: str = "auto",
             csr.row_offsets[1:], csr.num_nonzeros, plan.tile_items)
         meta = jnp.asarray(pack_tile_meta_np(cnt, lst, tile_nnz,
                                              plan.tile_items))
+        if plan.x_win:
+            from merge_spmv_tpu.ops.gather_plan import tile_col_meta_np
+            cbase, _ = tile_col_meta_np(csr.col_indices, csr.num_nonzeros,
+                                        csr.row_offsets[1:],
+                                        plan.tile_items)
+            meta = (meta, jnp.asarray(cbase))
     return SpmvOperator(plan, values, rowends, cols, meta=meta)

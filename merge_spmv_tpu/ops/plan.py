@@ -72,6 +72,7 @@ class SpmvPlan:
     row_span: int = 0          # max cumsum blocks per row register (0 = BPT)
     meta_gran: int = 128       # gather window granularity (128 | 1024 cols)
     y_in_vmem: bool = False    # whole y VMEM-resident (one final write DMA)
+    x_win: int = 0             # x-window subchunks when streaming (0 = x resident)
 
     @property
     def num_merge_items(self) -> int:
@@ -103,7 +104,8 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
               vmem_bytes: int = VMEM_BYTES_PER_CORE,
               r_win: Optional[int] = None,
               meta_k: Optional[int] = None,
-              row_end_offsets=None, col_indices=None) -> SpmvPlan:
+              row_end_offsets=None, col_indices=None,
+              allow_x_streaming: bool = False) -> SpmvPlan:
     """Build an execution plan (phase 1 of the two-phase contract).
 
     backend="auto" picks the Pallas merge kernel when the platform supports
@@ -147,7 +149,6 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
         pallas_ok = (
             platform == "tpu"
             and dname in ("float32", "bfloat16", "float64")
-            and x_in_vmem
             and num_cols > 1
             and num_nonzeros > 0
         )
@@ -181,6 +182,26 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
         row_span = 0
 
     meta_gran = 128
+    x_win = 0
+    if not x_in_vmem:
+        # EXPERIMENTAL, off by default: the streamed-x kernel passes
+        # interpret-mode differential tests but hits an unexplained
+        # "TPU backend error (Internal)" at runtime on v5e (NOTES.md);
+        # until that is root-caused, large-x plans fall back to XLA.
+        if (allow_x_streaming and col_indices is not None
+                and row_end_offsets is not None):
+            # x-window streaming: per-tile column windows DMA'd like the
+            # other inputs (viable for column-local matrices only)
+            from merge_spmv_tpu.ops.gather_plan import tile_col_meta_np
+            _, x_win_sub = tile_col_meta_np(col_indices, num_nonzeros,
+                                            row_end_offsets, tile_items)
+            # +8 subchunks of slack: the device-side (coarse) window-base
+            # fallback may start up to 7 subchunks below the fine base
+            if 2 * (x_win_sub + 8) * 128 * 4 <= vmem_bytes // 3:
+                x_win = x_win_sub + 8
+        if x_win == 0 and resolved in ("pallas", "pallas_ds"):
+            resolved = "xla"   # x neither resident nor windowable
+
     if meta_k is None:
         if col_indices is not None:
             from merge_spmv_tpu.ops.gather_plan import gather_meta_np
@@ -210,4 +231,5 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
         row_span=int(row_span),
         meta_gran=int(meta_gran),
         y_in_vmem=bool(y_in_vmem),
+        x_win=int(x_win),
     )

@@ -156,3 +156,52 @@ def test_fp64_double_single_route():
 def dataclasses_replace32(plan):
     import dataclasses
     return dataclasses.replace(plan, dtype="float32", backend="pallas")
+
+
+def test_x_window_streaming():
+    """x larger than the (test-shrunk) VMEM budget: per-tile column
+    windows are streamed; both the operator metadata path and the device
+    range fallback must agree with gold."""
+    from merge_spmv_tpu.ops.gather_plan import (gather_meta_np,
+                                                pack_tile_meta_np,
+                                                tile_col_meta_np)
+    from merge_spmv_tpu.ops.merge_path import merge_tile_coordinates_np
+
+    rs = np.random.RandomState(11)
+    n = 60000
+    rows = np.repeat(np.arange(n, dtype=np.int64), 4)
+    cols = np.clip(rows + rs.randint(-400, 400, rows.size), 0, n - 1)
+    coo = CooMatrix(n, n, rows.astype(np.int32), cols.astype(np.int32),
+                    rs.uniform(0.1, 1, rows.size))
+    csr = CsrMatrix.from_coo(coo).astype(np.float32)
+    x = rs.uniform(0.1, 1, n).astype(np.float32)
+    gold = csr.spmv_gold(x)
+
+    plan = make_plan(n, n, csr.num_nonzeros, dtype=np.float32,
+                     tile_items=2048, backend="pallas",
+                     vmem_bytes=256 * 1024,  # x (240 KB) over the half-budget
+                     row_end_offsets=csr.row_offsets[1:],
+                     col_indices=csr.col_indices,
+                     allow_x_streaming=True)
+    assert plan.x_win > 0, plan.describe()
+    v, re_, ci = csr.to_device(dtype=np.float32)
+
+    # operator-style metadata path
+    bpt = (plan.tile_items + 1024) // 1024 + 1
+    cnt, lst = gather_meta_np(csr.col_indices, csr.num_nonzeros,
+                              pad_blocks=bpt,
+                              shift=10 if plan.meta_gran == 1024 else 7)
+    _, tile_nnz = merge_tile_coordinates_np(csr.row_offsets[1:],
+                                            csr.num_nonzeros,
+                                            plan.tile_items)
+    packed = pack_tile_meta_np(cnt, lst, tile_nnz, plan.tile_items)
+    cbase, _ = tile_col_meta_np(csr.col_indices, csr.num_nonzeros,
+                                csr.row_offsets[1:], plan.tile_items)
+    y = csrmv_pallas(plan, v, re_, ci, jnp.asarray(x),
+                     meta=(jnp.asarray(packed), jnp.asarray(cbase)),
+                     interpret=INTERPRET)
+    assert_allclose_ulp(np.asarray(y), gold, context="x_window_meta")
+
+    # device range fallback (no host metadata)
+    y2 = csrmv_pallas(plan, v, re_, ci, jnp.asarray(x), interpret=INTERPRET)
+    assert_allclose_ulp(np.asarray(y2), gold, context="x_window_range")
