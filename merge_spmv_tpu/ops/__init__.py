@@ -13,11 +13,16 @@ Layering (TPU re-design of reference L0-L4, see SURVEY.md §1):
   in-tile segmented reduction, carry fix-up.
 * csrmv.py — public API dispatch (reference: DeviceSpmv::CsrMV,
   cub/device/device_spmv.cuh:129-164).
+* gather_plan.py — per-matrix gather metadata (distinct column-window
+  lists per 1024-nnz block; the TPU answer to hardware x-gather).
+* operator.py — SpmvOperator: device-resident matrix + plan + metadata.
 """
 
 from merge_spmv_tpu.ops.merge_path import merge_path_search, merge_tile_coordinates
 from merge_spmv_tpu.ops.plan import SpmvPlan, make_plan
 from merge_spmv_tpu.ops.csrmv import csrmv, csrmm
+from merge_spmv_tpu.ops.operator import SpmvOperator, build_operator
 
 __all__ = ["merge_path_search", "merge_tile_coordinates",
-           "SpmvPlan", "make_plan", "csrmv", "csrmm"]
+           "SpmvPlan", "make_plan", "csrmv", "csrmm",
+           "SpmvOperator", "build_operator"]
