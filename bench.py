@@ -19,13 +19,14 @@ import sys
 import time
 
 
-def chained_kernel_ms(step, x0, n=20, reps=3):
+def chained_kernel_ms(step, x0, n=30, reps=5):
     """Time n chained applications of step, subtracting the 1-call chain to
-    remove dispatch overhead.  Forces completion via host readback."""
+    remove dispatch overhead.  Forces completion via host readback.
+    Minimum over several repetitions: tunnel jitter only ever adds time."""
     import numpy as np
 
     xc = x0
-    for _ in range(3):
+    for _ in range(4):
         xc = step(xc)
     _ = np.asarray(xc[:1])
     big = small = 1e30
