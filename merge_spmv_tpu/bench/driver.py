@@ -113,13 +113,22 @@ def _bench_device_backend(backend, csr, x, gold, args):
     quiet = args.get("quiet", False)
     xd = jnp.asarray(x)
 
+    alpha = args.get("alpha", 1.0)
+    beta = args.get("beta", 0.0)
+    y_in = jnp.ones(csr.num_rows, csr.values.dtype) if beta else None
+
     setup_t = Timer().start()
     # setup = plan + gather-plan + H2D + first-call compile (the analog of
-    # the reference's "setup" column, e.g. HYB conversion gpu_spmv.cu:129)
+    # the reference's "setup" column, e.g. HYB conversion gpu_spmv.cu:129).
+    # "merge" resolves through backend="auto" so fp64 routes to the
+    # double-single pallas_ds kernel (make_plan policy) instead of
+    # silently timing the fp32 kernel.
     op = build_operator(csr, dtype=csr.values.dtype,
-                        backend="pallas" if backend == "merge" else "xla",
+                        backend="auto" if backend == "merge" else "xla",
                         tile_items=args.get("tile_items"))
-    y = op(xd, alpha=args.get("alpha", 1.0))
+    if backend == "merge" and op.plan.backend == "xla" and not quiet:
+        print("(plan fell back to xla) ", end="", flush=True)
+    y = op(xd, y_in=y_in, alpha=alpha, beta=beta)
     jax.block_until_ready(y)
     setup_t.stop()
 
@@ -130,13 +139,10 @@ def _bench_device_backend(backend, csr, x, gold, args):
     n2 = max(4, min(iters, 40))
     n1 = max(1, n2 // 4)
 
-    alpha = args.get("alpha", 1.0)
-
-    import jax.numpy as jnp
-
     def step(xc):
         # every element of xc depends on yc so no step can be elided
-        yc = op(xc, alpha=alpha)
+        yc = op(xc, y_in=y_in, alpha=alpha, beta=beta)
+        yc = yc.astype(xc.dtype)
         if csr.num_rows >= csr.num_cols:
             return xc + yc[:csr.num_cols] * 1e-20
         return xc + jnp.pad(yc, (0, csr.num_cols - csr.num_rows)) * 1e-20
@@ -158,6 +164,8 @@ def _bench_scipy(csr, x, gold, args):
                       shape=(csr.num_rows, csr.num_cols))
     t.stop()
     y = args.get("alpha", 1.0) * (m @ x)
+    if args.get("beta", 0.0):
+        y = y + args["beta"] * np.ones(csr.num_rows, y.dtype)
     idx = _verify("scipy", y, gold, quiet)
     iters = min(args.get("i") or adaptive_timing_iterations(
         csr.num_nonzeros, max_iterations=200), 200)
@@ -184,6 +192,8 @@ def _bench_torch(csr, x, gold, args):
     xt = torch.from_numpy(np.ascontiguousarray(x))
     t.stop()
     y = args.get("alpha", 1.0) * (m @ xt).numpy()
+    if args.get("beta", 0.0):
+        y = y + args["beta"] * np.ones(csr.num_rows, y.dtype)
     idx = _verify("torch", y, gold, quiet)
     iters = min(args.get("i") or adaptive_timing_iterations(
         csr.num_nonzeros, max_iterations=200), 200)
@@ -216,9 +226,12 @@ def run_benchmark(args) -> dict:
         print(f"device: {info['platform']} {info['device_kind']} "
               f"(peak {info['peak_hbm_gbps']} GB/s)\n")
 
-    # vectors (ones, matching RunTests cpu_spmv.cpp:637-641)
+    # vectors (ones, matching RunTests cpu_spmv.cpp:637-641); --beta
+    # exercises the full y = alpha*A*x + beta*y_in epilogue
     x = np.ones(csr.num_cols, dtype=dtype)
-    gold = csr.spmv_gold(x, None, alpha=args.get("alpha", 1.0), beta=0.0)
+    beta = args.get("beta", 0.0)
+    y_in = np.ones(csr.num_rows, dtype=dtype) if beta else None
+    gold = csr.spmv_gold(x, y_in, alpha=args.get("alpha", 1.0), beta=beta)
 
     peak = peak_hbm_bandwidth()
     results = {}

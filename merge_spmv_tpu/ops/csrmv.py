@@ -69,8 +69,11 @@ def _jitted_csrmv(plan: SpmvPlan, has_y_in: bool, has_meta: bool,
             if plan.backend == "pallas_ds":
                 return kernel(values, row_end_offsets, col_indices, x,
                               y_in, alpha, beta, meta)
-            return kernel(values, row_end_offsets, col_indices, x,
-                          y_in=y_in, alpha=alpha, beta=beta, meta=meta)
+            y = kernel(values, row_end_offsets, col_indices, x,
+                       y_in=y_in, alpha=alpha, beta=beta, meta=meta)
+            # the fp32 pallas kernel must hand back the plan dtype (bf16
+            # plans would otherwise silently widen)
+            return y.astype(jnp.dtype(plan.dtype))
         return _xla.csrmv_xla(values, row_end_offsets, col_indices, x,
                               y_in=y_in, alpha=alpha, beta=beta)
 

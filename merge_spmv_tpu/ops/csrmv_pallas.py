@@ -123,7 +123,7 @@ def _spmv_kernel(
     # output
     y_hbm,
     # scratch (input windows are double-buffered: slot = t & 1)
-    vals_s, cols_s, rowends_s, ybase_s, ywin_s, ywrite_s, xflat_s, xwin_s,
+    vals_s, cols_s, rowends_s, ybase_s, ywin_s, ywrite_s, xwin_s,
     cs_s, pref_s, carry_s, sems, xsems,
     *, tile_items: int, r_win: int, num_rows: int, meta_mode: str,
     meta_k: int, meta_gran: int, row_span: int,
@@ -158,15 +158,16 @@ def _spmv_kernel(
                                            ybase_s.at[pl.ds(s * R, R)],
                                            sems.at[3, s]))
         if x_win and "xdma" not in debug_skip:
-            # 1D flat transfer: 2D row-sliced DMAs from jit-computed HBM
-            # buffers crash the runtime (layout mismatch); both sides of
-            # the flat copy are 1024-aligned
-            cb = cbase_ref[tile]
-            src_off = pl.multiple_of(cb * LANES, BLOCK)   # cb is 8-aligned
-            dst_off = pl.multiple_of(s * x_win * LANES, BLOCK)
+            # 2D row-sliced transfer (the form the round-1 bisection
+            # proved safe on hardware; flat 1D dynamic-offset DMAs crash
+            # the TPU worker).  cbase is clamped host/prologue-side to
+            # [0, num_sub - x_win] so the source slice never runs past
+            # the packed x table — the out-of-bounds read was the
+            # plausible cause of the earlier "Internal" runtime error.
+            cb = pl.multiple_of(cbase_ref[tile], SUBLANES)
             d.append(pltpu.make_async_copy(
-                x_ref.at[pl.ds(src_off, x_win * LANES)],
-                xflat_s.at[pl.ds(dst_off, x_win * LANES)],
+                x_ref.at[pl.ds(cb, x_win), :],
+                xwin_s.at[pl.ds(s * x_win, x_win), :],
                 xsems.at[s]))
         return d
 
@@ -202,6 +203,8 @@ def _spmv_kernel(
     # --- products: p[j] = values[j] * x[col[j]] -------------------------- #
     cur = in_dmas(t, slot)
     cur[1].wait()   # cols
+    if x_win and "xdma" not in debug_skip:
+        cur[-1].wait()   # this tile's streamed x window (always appended last)
     cols2 = cols_s[pl.ds(slot * TE, TE)].reshape(TE // LANES, LANES)
     parts = []
     for r in range(BPT):
@@ -214,8 +217,9 @@ def _spmv_kernel(
 
             def x_rows(sub, count):
                 # window-relative fetch from this tile's streamed x slice
+                # (double-buffered: this tile's window lives at slot*x_win)
                 rel = jnp.clip(sub - cb_t, 0, x_win - count)
-                return xwin_s[pl.ds(rel, count), :]
+                return xwin_s[pl.ds(slot * x_win + rel, count), :]
         else:
             def x_rows(sub, count):
                 return x_ref[pl.ds(jnp.maximum(sub, 0), count), :]
@@ -442,10 +446,10 @@ def _spmv_kernel(
 # Host-side wrapper
 # ---------------------------------------------------------------------- #
 
-def _pack_x(x, num_sub, flat=False):
+def _pack_x(x, num_sub):
     pad = num_sub * SUBCHUNK - x.shape[0]
     xp = jnp.pad(x, (0, pad))
-    return xp if flat else xp.reshape(num_sub, SUBCHUNK)
+    return xp.reshape(num_sub, SUBCHUNK)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 8, 9))
@@ -461,8 +465,15 @@ def _csrmv_pallas_padded(plan: SpmvPlan, values_p, cols_p, rowends_p,
     # x table rows padded to a whole number of 1024-column chunks so the
     # coarse gather's (8, 128) chunk fetch never runs off the table
     num_sub = 8 * max(1, -(-plan.num_cols // BLOCK))
-    K = max(1, plan.meta_k)
-    meta_mode = "list" if plan.meta_k else "range"
+    cbase = None
+    if isinstance(meta, tuple):
+        meta, cbase = meta
+    # kernel meta layout follows what is actually provided: host-packed
+    # K-wide lists, or the K=1 device range fallback (a list-mode plan
+    # without host metadata must still run in range mode — the layouts
+    # are incompatible)
+    K = max(1, plan.meta_k) if meta is not None else 1
+    meta_mode = "list" if (plan.meta_k and meta is not None) else "range"
     meta_gran = plan.meta_gran
     has_ybase = y_base_p is not None
     W = meta_width(T, K)
@@ -472,32 +483,40 @@ def _csrmv_pallas_padded(plan: SpmvPlan, values_p, cols_p, rowends_p,
     tile_rows, tile_nnz = merge_tile_coordinates(
         rowends_p[:plan.num_rows], plan.num_nonzeros, T)
 
-    cbase = None
-    if isinstance(meta, tuple):
-        meta, cbase = meta
     if meta is None:
         # range fallback: per-block [lo, hi] window range from cols
         nblocks = -(-plan.num_nonzeros // BLOCK)
         rcnt, rlo = gather_meta_range(cols_p, plan.num_nonzeros, nblocks,
                                       shift=10 if meta_gran == 1024 else 7)
         rcnt = jnp.pad(rcnt, (0, BPT + 1))
-        rlo = jnp.pad(rlo, ((0, BPT + 1), (0, 0)))
+        # padded blocks have rcnt == 0 (never visited); pad their lo with
+        # a huge sentinel so the per-tile cbase window min ignores them
+        # (0-padding dragged the last tile's x window down to column 0)
+        rlo = jnp.pad(rlo, ((0, BPT + 1), (0, 0)),
+                      constant_values=jnp.int32(2**30))
         meta = pack_tile_meta(rcnt, rlo, tile_nnz, T)
         if plan.x_win and cbase is None:
             b0 = tile_nnz[:-1] // BLOCK
             idx = jnp.minimum(b0[:, None] + jnp.arange(BPT, dtype=jnp.int32),
                               rlo.shape[0] - 1)
-            lo_sub = jnp.take(rlo[:, 0], idx, axis=0).min(axis=1) * 8
+            # rlo units depend on the range shift: 1024-col chunks are 8
+            # subchunks each; 128-col windows are already subchunks
+            scale = 8 if meta_gran == 1024 else 1
+            lo_sub = jnp.take(rlo[:, 0], idx, axis=0).min(axis=1) * scale
             cbase = jnp.pad((lo_sub // 8) * 8, (0, 1))
     if plan.x_win and cbase is None:
         raise ValueError("x-window plans need the operator's cbase metadata")
     if cbase is None:
         cbase = jnp.zeros((num_tiles + 1,), jnp.int32)
+    # the streamed window [cbase, cbase + x_win) must stay inside the
+    # packed (num_sub, 128) x table: clamp, preserving 8-alignment
+    if plan.x_win:
+        cbase = jnp.clip(cbase, 0, max(0, num_sub - plan.x_win))
     cbase = cbase.astype(jnp.int32)
 
     # alpha folds into x (p[j] = v[j] * (alpha*x)[col[j]]), keeping the
     # kernel scale-free; beta folds into y_base (caller).
-    x_packed = _pack_x(alpha * x, num_sub, flat=bool(plan.x_win))
+    x_packed = _pack_x(alpha * x, num_sub)
 
     # multiple of 1024 so whole-buffer DMA slices stay tile-aligned
     out_len = -(-(plan.num_rows + R + BLOCK) // BLOCK) * BLOCK
@@ -527,10 +546,8 @@ def _csrmv_pallas_padded(plan: SpmvPlan, values_p, cols_p, rowends_p,
                        jnp.float32),                         # y (window/full)
             pltpu.VMEM((8 if y_vmem else 2 * R,),
                        jnp.float32),                         # write staging
-            pltpu.VMEM((max(2 * plan.x_win * LANES, 8),),
-                       jnp.float32),                         # x window stage
-            pltpu.VMEM((max(plan.x_win, 8), LANES),
-                       jnp.float32),                         # x window table
+            pltpu.VMEM((max(2 * plan.x_win, 8), LANES),
+                       jnp.float32),                         # x windows (2 slots)
             pltpu.VMEM((BPT, SUBLANES, LANES), jnp.float32),  # cumsum table
             pltpu.VMEM((BPT, LANES), jnp.float32),            # block prefixes
             pltpu.SMEM((1,), jnp.float32),                   # row carry

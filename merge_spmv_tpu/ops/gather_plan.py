@@ -173,14 +173,16 @@ def tile_col_windows_np(col_indices, num_nonzeros: int, tile_items: int):
     bmin = sc.min(axis=1)
     bmax = sc.max(axis=1)
     bpt = (tile_items + BLOCK) // BLOCK
-    from merge_spmv_tpu.ops.merge_path import num_merge_tiles
-    # tile t covers blocks [tile_nnz[t]//BLOCK, +bpt) — computed by caller;
-    # here we take a sliding window-min/max over bpt consecutive blocks
+    # tile t covers blocks [tile_nnz[t]//BLOCK, +bpt): sliding window
+    # min/max over bpt consecutive blocks.  sliding_window_view is a
+    # stride view — O(1) extra memory, unlike the naive np.stack form
+    # which materialized nb*bpt entries (ruinous at 100M-nnz plan time).
     pad = np.full(bpt, 2**31, np.int64)
     bmin_p = np.concatenate([bmin, pad])
     bmax_p = np.concatenate([bmax, -pad])
-    win_min = np.stack([bmin_p[i:i + nb] for i in range(bpt)]).min(axis=0)
-    win_max = np.stack([bmax_p[i:i + nb] for i in range(bpt)]).max(axis=0)
+    sw = np.lib.stride_tricks.sliding_window_view
+    win_min = sw(bmin_p, bpt)[:nb].min(axis=1)
+    win_max = sw(bmax_p, bpt)[:nb].max(axis=1)
     return win_min, win_max
 
 

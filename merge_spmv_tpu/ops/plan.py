@@ -105,7 +105,7 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
               r_win: Optional[int] = None,
               meta_k: Optional[int] = None,
               row_end_offsets=None, col_indices=None,
-              allow_x_streaming: bool = False) -> SpmvPlan:
+              allow_x_streaming: bool = True) -> SpmvPlan:
     """Build an execution plan (phase 1 of the two-phase contract).
 
     backend="auto" picks the Pallas merge kernel when the platform supports
@@ -184,10 +184,11 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
     meta_gran = 128
     x_win = 0
     if not x_in_vmem:
-        # EXPERIMENTAL, off by default: the streamed-x kernel passes
-        # interpret-mode differential tests but hits an unexplained
-        # "TPU backend error (Internal)" at runtime on v5e (NOTES.md);
-        # until that is root-caused, large-x plans fall back to XLA.
+        # x-window streaming (round 2): per-tile column windows of x are
+        # DMA'd alongside the other inputs.  The round-1 v5e crash was
+        # root-caused to an out-of-bounds window DMA (cbase unclamped past
+        # the packed x table) plus an unwired staging buffer; both fixed,
+        # verified compiled-on-chip (tests/test_csrmv_pallas.py).
         if (allow_x_streaming and col_indices is not None
                 and row_end_offsets is not None):
             # x-window streaming: per-tile column windows DMA'd like the
@@ -196,9 +197,13 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
             _, x_win_sub = tile_col_meta_np(col_indices, num_nonzeros,
                                             row_end_offsets, tile_items)
             # +8 subchunks of slack: the device-side (coarse) window-base
-            # fallback may start up to 7 subchunks below the fine base
-            if 2 * (x_win_sub + 8) * 128 * 4 <= vmem_bytes // 3:
-                x_win = x_win_sub + 8
+            # fallback may start up to 7 subchunks below the fine base.
+            # Capped at the packed x table height (num_sub) so the 2D
+            # window DMA can never slice past the table.
+            num_sub = 8 * max(1, -(-int(num_cols) // 1024))
+            cand = min(x_win_sub + 8, num_sub)
+            if 2 * cand * 128 * 4 <= vmem_bytes // 3:
+                x_win = cand
         if x_win == 0 and resolved in ("pallas", "pallas_ds"):
             resolved = "xla"   # x neither resident nor windowable
 

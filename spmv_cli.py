@@ -10,7 +10,8 @@ Usage (mirrors cpu_spmv.cpp:686-706 / gpu_spmv.cu:676-696):
 
 Options:
     --fp32 (default) | --fp64        value dtype
-    --alpha=<s>                      y = alpha*A*x (default 1.0)
+    --alpha=<s> / --beta=<s>         y = alpha*A*x + beta*y_in
+                                     (defaults 1.0 / 0.0; y_in = ones)
     --i=<timing iterations>          default: adaptive 16G-nnz rule
     --quiet                          CSV output for corpus sweeps
     --v / --v2                       verbose / dump matrix
@@ -35,7 +36,7 @@ def parse_args(argv):
             k = k.replace("-", "_")
             if k in ("mtx", "backends"):
                 args[k] = v
-            elif k == "alpha":
+            elif k in ("alpha", "beta"):
                 args[k] = float(v)
             else:
                 args[k] = int(v)

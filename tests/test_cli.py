@@ -58,7 +58,53 @@ def test_driver_wheel_verbose():
 def test_cli_arg_parsing():
     args = spmv_cli.parse_args(["prog", "--grid3d=12", "--fp64",
                                 "--backends=xla,merge", "--alpha=2.5",
-                                "--quiet"])
+                                "--beta=-0.5", "--quiet"])
     assert args["grid3d"] == 12 and args["fp32"] is False
     assert args["backends"] == ["xla", "merge"]
-    assert args["alpha"] == 2.5 and args["quiet"] is True
+    assert args["alpha"] == 2.5 and args["beta"] == -0.5
+    assert args["quiet"] is True
+
+
+def test_driver_beta_epilogue():
+    # --beta exercises y = alpha*A*x + beta*y_in end to end (VERDICT
+    # missing #6): gold and backends must agree with the epilogue applied
+    results, _ = _run({"grid2d": 20, "fp32": True, "quiet": True,
+                       "backends": ["scipy", "xla"], "i": 3,
+                       "alpha": 1.5, "beta": -0.5})
+    assert results["scipy"]["verified"]
+    assert results["xla"]["verified"]
+
+
+def test_driver_merge_resolves_through_auto(monkeypatch):
+    """The 'merge' backend must resolve via backend='auto' so fp64 routes
+    to pallas_ds instead of silently timing the fp32 kernel
+    (bench/driver.py round-1 bug; ADVICE.md medium)."""
+    from merge_spmv_tpu.ops import operator as op_mod
+
+    seen = {}
+    real = op_mod.build_operator
+
+    def spy(csr, dtype="float32", backend="auto", tile_items=None):
+        seen["backend"] = backend
+        return real(csr, dtype=dtype, backend=backend,
+                    tile_items=tile_items)
+
+    monkeypatch.setattr(op_mod, "build_operator", spy)
+    results, _ = _run({"grid2d": 16, "fp32": True, "quiet": True,
+                       "backends": ["merge"], "i": 3})
+    assert seen["backend"] == "auto"
+    assert results["merge"]["verified"]
+
+
+def test_fp64_auto_routes_to_pallas_ds(monkeypatch):
+    """On a TPU platform, auto + float64 must pick the double-single
+    pallas route (plan policy), which the driver now reaches."""
+    import jax
+
+    from merge_spmv_tpu.ops.plan import make_plan
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    plan = make_plan(100, 100, 700, dtype=np.float64, backend="auto")
+    assert plan.backend == "pallas_ds"
+    plan32 = make_plan(100, 100, 700, dtype=np.float32, backend="auto")
+    assert plan32.backend == "pallas"

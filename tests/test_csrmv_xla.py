@@ -35,17 +35,22 @@ MATRICES = {
 @pytest.mark.parametrize("name", sorted(MATRICES))
 @pytest.mark.parametrize("dtype", [np.float32, np.float64])
 def test_csrmv_xla_vs_gold(name, dtype, rng):
-    if dtype == np.float64:
-        import jax
-        if not jax.config.jax_enable_x64:
-            pytest.skip("x64 disabled")
-    csr = CsrMatrix.from_coo(MATRICES[name]())
-    x = rng.uniform(-1, 1, csr.num_cols).astype(dtype)
-    want = csr.astype(dtype).spmv_gold(x)
-    plan = make_plan(csr.num_rows, csr.num_cols, csr.num_nonzeros,
-                     dtype=dtype, backend="xla")
-    got = csrmv(plan, *_device_arrays(csr, dtype), jnp.asarray(x))
-    assert_allclose_ulp(np.asarray(got), want, context=name)
+    import contextlib
+
+    import jax
+    # fp64 runs under a local x64 scope so the differential test is real
+    # (previously skipped whenever the suite ran with x64 off)
+    ctx = (jax.enable_x64(True) if dtype == np.float64
+           else contextlib.nullcontext())
+    with ctx:
+        csr = CsrMatrix.from_coo(MATRICES[name]())
+        x = rng.uniform(-1, 1, csr.num_cols).astype(dtype)
+        want = csr.astype(dtype).spmv_gold(x)
+        plan = make_plan(csr.num_rows, csr.num_cols, csr.num_nonzeros,
+                         dtype=dtype, backend="xla")
+        got = csrmv(plan, *_device_arrays(csr, dtype), jnp.asarray(x))
+        assert np.asarray(got).dtype == dtype
+        assert_allclose_ulp(np.asarray(got), want, context=name)
 
 
 def test_alpha_beta_epilogue(rng):
