@@ -47,7 +47,8 @@ def build_matrix(args) -> CsrMatrix:
             if not args.get("quiet"):
                 print("Trivial dataset")
             sys.exit(0)
-        label = args["mtx"]
+        import os
+        label = os.path.splitext(os.path.basename(args["mtx"]))[0]
     elif args.get("grid2d"):
         coo = CooMatrix.grid2d(args["grid2d"], self_loop=False)
         label = f"grid2d_{args['grid2d']}"
@@ -96,14 +97,15 @@ def display_perf(name, setup_ms, avg_ms, csr, value_bytes, quiet=False,
     return {"gflops": gflops, "gbps": gbps, "avg_ms": avg_ms}
 
 
-def _verify(name, y, gold, quiet):
-    idx = compare_results(np.asarray(y), gold, verbose=not quiet)
+def _verify(name, y, gold, quiet, abs_bound=None):
+    idx = compare_results(np.asarray(y), gold, verbose=not quiet,
+                          abs_bound=abs_bound)
     if not quiet:
         print(f"\t{'FAIL' if idx is not None else 'PASS'}", flush=True)
     return idx
 
 
-def _bench_device_backend(backend, csr, x, gold, args):
+def _bench_device_backend(backend, csr, x, gold, args, abs_bound=None):
     """Verify + time a device backend (operator dispatch path)."""
     import jax
     import jax.numpy as jnp
@@ -132,7 +134,7 @@ def _bench_device_backend(backend, csr, x, gold, args):
     jax.block_until_ready(y)
     setup_t.stop()
 
-    idx = _verify(backend, y, gold, quiet)
+    idx = _verify(backend, y, gold, quiet, abs_bound)
 
     iters = args.get("i") or adaptive_timing_iterations(
         csr.num_nonzeros, max_iterations=args.get("max_iters", 2000))
@@ -153,7 +155,7 @@ def _bench_device_backend(backend, csr, x, gold, args):
                          idx is None, idx)
 
 
-def _bench_scipy(csr, x, gold, args):
+def _bench_scipy(csr, x, gold, args, abs_bound=None):
     try:
         import scipy.sparse as sp
     except ImportError:
@@ -166,7 +168,7 @@ def _bench_scipy(csr, x, gold, args):
     y = args.get("alpha", 1.0) * (m @ x)
     if args.get("beta", 0.0):
         y = y + args["beta"] * np.ones(csr.num_rows, y.dtype)
-    idx = _verify("scipy", y, gold, quiet)
+    idx = _verify("scipy", y, gold, quiet, abs_bound)
     iters = min(args.get("i") or adaptive_timing_iterations(
         csr.num_nonzeros, max_iterations=200), 200)
     tm = Timer().start()
@@ -177,7 +179,7 @@ def _bench_scipy(csr, x, gold, args):
                          t.elapsed_millis(), idx is None, idx)
 
 
-def _bench_torch(csr, x, gold, args):
+def _bench_torch(csr, x, gold, args, abs_bound=None):
     try:
         import torch
     except ImportError:
@@ -194,7 +196,7 @@ def _bench_torch(csr, x, gold, args):
     y = args.get("alpha", 1.0) * (m @ xt).numpy()
     if args.get("beta", 0.0):
         y = y + args["beta"] * np.ones(csr.num_rows, y.dtype)
-    idx = _verify("torch", y, gold, quiet)
+    idx = _verify("torch", y, gold, quiet, abs_bound)
     iters = min(args.get("i") or adaptive_timing_iterations(
         csr.num_nonzeros, max_iterations=200), 200)
     tm = Timer().start()
@@ -232,6 +234,8 @@ def run_benchmark(args) -> dict:
     beta = args.get("beta", 0.0)
     y_in = np.ones(csr.num_rows, dtype=dtype) if beta else None
     gold = csr.spmv_gold(x, y_in, alpha=args.get("alpha", 1.0), beta=beta)
+    abs_bound = csr.spmv_abs_bound(x, y_in, alpha=args.get("alpha", 1.0),
+                                   beta=beta)
 
     peak = peak_hbm_bandwidth()
     results = {}
@@ -243,11 +247,11 @@ def run_benchmark(args) -> dict:
         else:
             print(f"{_display_name(backend)}, ", end="", flush=True)
         if backend in ("merge", "xla"):
-            r = _bench_device_backend(backend, csr, x, gold, args)
+            r = _bench_device_backend(backend, csr, x, gold, args, abs_bound)
         elif backend == "scipy":
-            r = _bench_scipy(csr, x, gold, args)
+            r = _bench_scipy(csr, x, gold, args, abs_bound)
         elif backend == "torch":
-            r = _bench_torch(csr, x, gold, args)
+            r = _bench_torch(csr, x, gold, args, abs_bound)
         else:
             print(f"unknown backend {backend}", file=sys.stderr)
             continue

@@ -133,6 +133,22 @@ class CsrMatrix:
             y = y + beta * np.asarray(y_in)
         return y
 
+    def spmv_abs_bound(self, x, y_in=None, alpha=1.0, beta=0.0):
+        """Per-row backward-error condition scale for SpMV verification:
+        ``|alpha| * |A| @ |x| + |beta * y_in|``.  Rows whose true sum
+        nearly cancels can only be computed to ~eps times this scale by
+        ANY summation order; comparators use it as the absolute-error
+        escape (utils/compare.py BWD_TOL)."""
+        x = np.asarray(x)
+        products = np.abs(self.values) * np.abs(x)[self.col_indices]
+        sums = np.bincount(
+            self.row_ids(), weights=products, minlength=self.num_rows
+        ).astype(np.float64)
+        bound = abs(alpha) * sums
+        if beta != 0.0 and y_in is not None:
+            bound = bound + np.abs(beta * np.asarray(y_in))
+        return bound
+
     def spmm_gold(self, X, Y_in=None, alpha=1.0, beta=0.0):
         """Gold SpMM: X is [num_cols, k]."""
         X = np.asarray(X)

@@ -45,6 +45,7 @@ ahead of XLA's scalar gather path.
 from __future__ import annotations
 
 import functools
+import typing
 
 import jax
 import jax.numpy as jnp
@@ -452,31 +453,18 @@ def _pack_x(x, num_sub):
     return xp.reshape(num_sub, SUBCHUNK)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 8, 9))
-def _csrmv_pallas_padded(plan: SpmvPlan, values_p, cols_p, rowends_p,
-                         x, y_base_p, alpha, meta, interpret,
-                         debug_skip=""):
-    """Inner jitted body; array inputs pre-padded (see csrmv_pallas)."""
+def _prepare_traced(plan: SpmvPlan, cols_p, rowends_p, meta, cbase):
+    """Per-matrix prep: tile-coordinate search + gather metadata + clamped
+    x-window bases.  Pure jnp — runs once at operator build (prepare_csrmv)
+    or inline inside the raw-call jit.  This is the TPU analog of the
+    reference's separate search kernel + dispatch planning
+    (dispatch_spmv_orig.cuh:104-143, 608-655)."""
     T = plan.tile_items
-    R = plan.r_win
     TE = T + BLOCK
     BPT = TE // BLOCK
     num_tiles = plan.num_tiles
-    # x table rows padded to a whole number of 1024-column chunks so the
-    # coarse gather's (8, 128) chunk fetch never runs off the table
     num_sub = 8 * max(1, -(-plan.num_cols // BLOCK))
-    cbase = None
-    if isinstance(meta, tuple):
-        meta, cbase = meta
-    # kernel meta layout follows what is actually provided: host-packed
-    # K-wide lists, or the K=1 device range fallback (a list-mode plan
-    # without host metadata must still run in range mode — the layouts
-    # are incompatible)
-    K = max(1, plan.meta_k) if meta is not None else 1
-    meta_mode = "list" if (plan.meta_k and meta is not None) else "range"
     meta_gran = plan.meta_gran
-    has_ybase = y_base_p is not None
-    W = meta_width(T, K)
 
     # Search phase: one fused searchsorted for all tile diagonals
     # (replaces DeviceSpmvSearchKernel, dispatch_spmv_orig.cuh:104-143).
@@ -513,10 +501,50 @@ def _csrmv_pallas_padded(plan: SpmvPlan, values_p, cols_p, rowends_p,
     if plan.x_win:
         cbase = jnp.clip(cbase, 0, max(0, num_sub - plan.x_win))
     cbase = cbase.astype(jnp.int32)
+    return tile_rows, tile_nnz, cbase, meta
 
-    # alpha folds into x (p[j] = v[j] * (alpha*x)[col[j]]), keeping the
-    # kernel scale-free; beta folds into y_base (caller).
-    x_packed = _pack_x(alpha * x, num_sub)
+
+@functools.partial(jax.jit, static_argnums=(0, 8, 9))
+def _csrmv_pallas_padded(plan: SpmvPlan, values_p, cols_p, rowends_p,
+                         x, y_base_p, alpha, meta, interpret,
+                         debug_skip=""):
+    """Inner jitted body; array inputs pre-padded (see csrmv_pallas)."""
+    cbase = None
+    if isinstance(meta, tuple):
+        meta, cbase = meta
+    provided = meta is not None
+    tile_rows, tile_nnz, cbase, meta = _prepare_traced(
+        plan, cols_p, rowends_p, meta, cbase)
+    return _csrmv_pallas_core(
+        plan, values_p, cols_p, rowends_p, tile_rows, tile_nnz, cbase,
+        meta, alpha * x, y_base_p,
+        meta_is_list=bool(plan.meta_k) and provided,
+        interpret=interpret, debug_skip=debug_skip)
+
+
+def _csrmv_pallas_core(plan: SpmvPlan, values_p, cols_p, rowends_p,
+                       tile_rows, tile_nnz, cbase, meta, x_scaled, y_base_p,
+                       *, meta_is_list: bool, interpret, debug_skip=""):
+    """The pallas_call invocation; all per-matrix prep already done."""
+    T = plan.tile_items
+    R = plan.r_win
+    TE = T + BLOCK
+    BPT = TE // BLOCK
+    num_tiles = plan.num_tiles
+    # x table rows padded to a whole number of 1024-column chunks so the
+    # coarse gather's (8, 128) chunk fetch never runs off the table
+    num_sub = 8 * max(1, -(-plan.num_cols // BLOCK))
+    # kernel meta layout follows what is actually provided: host-packed
+    # K-wide lists, or the K=1 device range fallback (a list-mode plan
+    # without host metadata must still run in range mode — the layouts
+    # are incompatible)
+    K = max(1, plan.meta_k) if meta_is_list else 1
+    meta_mode = "list" if meta_is_list else "range"
+    meta_gran = plan.meta_gran
+    has_ybase = y_base_p is not None
+    W = meta_width(T, K)
+
+    x_packed = _pack_x(x_scaled, num_sub)
 
     # multiple of 1024 so whole-buffer DMA slices stay tile-aligned
     out_len = -(-(plan.num_rows + R + BLOCK) // BLOCK) * BLOCK
@@ -590,19 +618,12 @@ def csrmv_pallas(plan: SpmvPlan, values, row_end_offsets, col_indices, x,
     plan is derived on device.  float32 path (fp64 routes to the XLA
     backend per the plan policy; bf16 upcasts here).
     """
-    T = plan.tile_items + BLOCK   # padding: one full extended window
     f32 = jnp.float32
-    values_p = jnp.pad(values.astype(f32), (0, T))
-    if plan.num_nonzeros:
-        tail = jnp.broadcast_to(col_indices[-1:], (T,))
-        cols_p = jnp.concatenate([col_indices, tail])
-    else:
-        cols_p = jnp.zeros((T,), jnp.int32)
-    # row-indexed arrays padded to the kernel's aligned output length
+    values_p, cols_p, rowends_p = pad_csr_arrays(plan, values,
+                                                 row_end_offsets,
+                                                 col_indices)
     out_len = -(-(plan.num_rows + plan.r_win + BLOCK) // BLOCK) * BLOCK
     rpad = out_len - plan.num_rows
-    rowends_p = jnp.pad(row_end_offsets, (0, rpad),
-                        constant_values=plan.num_nonzeros)
     if y_in is not None:
         y_base_p = jnp.pad(beta * y_in.astype(f32), (0, rpad))
     else:
@@ -615,6 +636,98 @@ def csrmv_pallas(plan: SpmvPlan, values, row_end_offsets, col_indices, x,
                                  jnp.asarray(alpha, f32), meta,
                                  bool(interpret), debug_skip)
     return y
+
+
+class PreparedCsrmv(typing.NamedTuple):
+    """Device-resident per-matrix state for the fast call path.
+
+    Everything here is computed ONCE per matrix (the analog of the
+    reference's query/allocate phase + caching allocator making repeat
+    dispatches cheap, SURVEY.md §3.3): padded CSR arrays, fused-search
+    tile coordinates, packed gather metadata, clamped x-window bases.
+    The per-call path then only packs x and launches the kernel — the
+    round-1 driver paid ~55 MB of re-padding HBM traffic plus the tile
+    search on every single call.
+    """
+    values_p: object
+    cols_p: object
+    rowends_p: object
+    tile_rows: object
+    tile_nnz: object
+    cbase: object
+    meta: object
+    meta_is_list: bool
+
+
+def pad_csr_arrays(plan: SpmvPlan, values, row_end_offsets, col_indices):
+    """Pad the CSR arrays to the kernel's aligned window lengths."""
+    T = plan.tile_items + BLOCK
+    f32 = jnp.float32
+    values_p = jnp.pad(values.astype(f32), (0, T))
+    if plan.num_nonzeros:
+        tail = jnp.broadcast_to(col_indices[-1:], (T,))
+        cols_p = jnp.concatenate([col_indices, tail])
+    else:
+        cols_p = jnp.zeros((T,), jnp.int32)
+    out_len = -(-(plan.num_rows + plan.r_win + BLOCK) // BLOCK) * BLOCK
+    rpad = out_len - plan.num_rows
+    rowends_p = jnp.pad(row_end_offsets, (0, rpad),
+                        constant_values=plan.num_nonzeros)
+    return values_p, cols_p, rowends_p
+
+
+def prepare_csrmv(plan: SpmvPlan, values, row_end_offsets, col_indices,
+                  meta=None) -> PreparedCsrmv:
+    """One-time per-matrix preparation for csrmv_pallas_prepared."""
+    cbase = None
+    if isinstance(meta, tuple):
+        meta, cbase = meta
+    provided = meta is not None
+    with jax.enable_x64(False):
+        values_p, cols_p, rowends_p = pad_csr_arrays(
+            plan, values, row_end_offsets, col_indices)
+        tile_rows, tile_nnz, cbase, meta = jax.jit(
+            _prepare_traced, static_argnums=0)(plan, cols_p, rowends_p,
+                                               meta, cbase)
+    return PreparedCsrmv(values_p, cols_p, rowends_p, tile_rows, tile_nnz,
+                         cbase, meta,
+                         meta_is_list=bool(plan.meta_k) and provided)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("plan", "meta_is_list", "alpha_one",
+                                    "interpret", "debug_skip"))
+def _prepared_call(plan, values_p, cols_p, rowends_p, tile_rows, tile_nnz,
+                   cbase, meta, x, y_in, alpha, beta, *, meta_is_list,
+                   alpha_one, interpret, debug_skip=""):
+    f32 = jnp.float32
+    out_len = -(-(plan.num_rows + plan.r_win + BLOCK) // BLOCK) * BLOCK
+    rpad = out_len - plan.num_rows
+    if y_in is not None:
+        y_base_p = jnp.pad(beta * y_in.astype(f32), (0, rpad))
+    else:
+        y_base_p = None
+    x_scaled = x.astype(f32) if alpha_one else alpha * x.astype(f32)
+    return _csrmv_pallas_core(
+        plan, values_p, cols_p, rowends_p, tile_rows, tile_nnz, cbase,
+        meta, x_scaled, y_base_p, meta_is_list=meta_is_list,
+        interpret=interpret, debug_skip=debug_skip)
+
+
+def csrmv_pallas_prepared(plan: SpmvPlan, prep: PreparedCsrmv, x,
+                          y_in=None, alpha=1.0, beta=0.0,
+                          interpret: bool = False, debug_skip: str = ""):
+    """Fast path: y = alpha*A*x + beta*y_in with per-matrix prep hoisted."""
+    alpha_one = isinstance(alpha, (int, float)) and alpha == 1.0
+    with jax.enable_x64(False):
+        alpha = jnp.asarray(alpha, jnp.float32)
+        beta = jnp.asarray(beta, jnp.float32)
+        return _prepared_call(
+            plan, prep.values_p, prep.cols_p, prep.rowends_p,
+            prep.tile_rows, prep.tile_nnz, prep.cbase, prep.meta,
+            x, y_in, alpha, beta, meta_is_list=prep.meta_is_list,
+            alpha_one=alpha_one, interpret=bool(interpret),
+            debug_skip=debug_skip)
 
 
 def csrmm_pallas(plan, values, row_end_offsets, col_indices, X,

@@ -29,7 +29,14 @@ __all__ = ["SpmvOperator", "build_operator"]
 
 
 class SpmvOperator:
-    """Device-resident CSR SpMV/SpMM operator (two-phase contract, phase 2)."""
+    """Device-resident CSR SpMV/SpMM operator (two-phase contract, phase 2).
+
+    For the pallas backends, construction runs `prepare_csrmv` once —
+    padded arrays, fused tile search, packed gather metadata all become
+    device-resident — so `op(x)` is a single compiled launch with no
+    per-call re-padding (the analog of the reference's caching allocator
+    making repeat CsrMV dispatches cheap, util_allocator.cuh:101).
+    """
 
     def __init__(self, plan: SpmvPlan, values, row_end_offsets, col_indices,
                  meta=None):
@@ -38,9 +45,53 @@ class SpmvOperator:
         self.row_end_offsets = row_end_offsets
         self.col_indices = col_indices
         self.meta = meta
+        self._prep = None
+        self._prep_lo = None
+        if plan.backend in ("pallas", "pallas_ds"):
+            import dataclasses
+
+            import jax.numpy as jnp
+
+            from merge_spmv_tpu.ops.csrmv_pallas import prepare_csrmv
+            self._plan32 = (plan if plan.backend == "pallas" else
+                            dataclasses.replace(plan, dtype="float32",
+                                                backend="pallas"))
+            v_hi = values.astype(jnp.float32)
+            self._prep = prepare_csrmv(self._plan32, v_hi,
+                                       row_end_offsets, col_indices,
+                                       meta=meta)
+            if plan.backend == "pallas_ds":
+                from merge_spmv_tpu.ops.csrmv_pallas import pad_csr_arrays
+                v_lo = (values - v_hi.astype(values.dtype)
+                        ).astype(jnp.float32)
+                v_lo_p, _, _ = pad_csr_arrays(self._plan32, v_lo,
+                                              row_end_offsets, col_indices)
+                self._prep_lo = self._prep._replace(values_p=v_lo_p)
 
     def __call__(self, x, y_in=None, alpha=1.0, beta=0.0,
                  interpret: bool = False):
+        import jax.numpy as jnp
+        if self._prep is not None:
+            from merge_spmv_tpu.ops.csrmv_pallas import csrmv_pallas_prepared
+            dtype = jnp.dtype(self.plan.dtype)
+            if self.plan.backend == "pallas":
+                y = csrmv_pallas_prepared(self._plan32, self._prep, x,
+                                          y_in=y_in, alpha=alpha, beta=beta,
+                                          interpret=interpret)
+                return y.astype(dtype)
+            # double-single fp64: three fp32 passes (see ops/csrmv.py)
+            x_hi = x.astype(jnp.float32)
+            x_lo = (x - x_hi.astype(x.dtype)).astype(jnp.float32)
+            y = csrmv_pallas_prepared(self._plan32, self._prep, x_hi,
+                                      interpret=interpret)
+            y = csrmv_pallas_prepared(self._plan32, self._prep, x_lo,
+                                      y_in=y, beta=1.0, interpret=interpret)
+            y = csrmv_pallas_prepared(self._plan32, self._prep_lo, x_hi,
+                                      y_in=y, beta=1.0, interpret=interpret)
+            y = (alpha * y).astype(dtype)
+            if y_in is not None:
+                y = y + jnp.asarray(beta, dtype) * y_in
+            return y
         from merge_spmv_tpu.ops.csrmv import csrmv
         return csrmv(self.plan, self.values, self.row_end_offsets,
                      self.col_indices, x, y_in=y_in, alpha=alpha, beta=beta,

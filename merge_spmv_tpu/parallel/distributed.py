@@ -3,22 +3,28 @@
 Per-shard flow (each device owns one equal-merge-work share from
 partition.py):
 
-1. local SpMV over the share's padded CSR window (the share may start and
-   end mid-row — exactly like an OMP thread's share, cpu_spmv.cpp:324-344),
-2. **carry exchange**: each shard's spanning-row partial is a single
-   (row, value) pair; one tiny `all_gather` lets the owning shard fold in
-   every foreign partial — the SPMD realization of the serial carry fix-up
-   loop (cpu_spmv.cpp:347-353) and the TPU analog of the GPU fix-up kernel,
-3. output stays row-sharded as per-shard windows (exclusive after the
-   exchange); `materialize_y` assembles the dense global vector when needed.
-
-x is replicated across the mesh in v1 (all-gathered once by the caller's
-sharding); per-share halo windows ride in a later revision.
+1. **x halo exchange** (halo mode): x lives sharded as [S, cpad] column
+   blocks; two neighbor `ppermute`s move the `halo`-wide block edges so
+   each shard holds [left_halo | own_block | right_halo] — the
+   collectives ride the ICI neighbor links, nothing is replicated.
+   Replicate mode (windows span the mesh) passes the full x through
+   unchanged (v1 behavior, correct for any matrix).
+2. **local SpMV** over the share's padded CSR window (the share may start
+   and end mid-row — exactly like an OMP thread's share,
+   cpu_spmv.cpp:324-344), column indices already window-local.
+3. **carry reduce-scatter**: shard s's spanning-row partial is one scalar
+   whose destination shard was precomputed at partition time (it is
+   always the destination's FIRST local row — see partition.py).  One
+   `psum_scatter` of S scalars delivers every shard the sum of foreign
+   partials for its first row.  This is the SPMD realization of the
+   reference's carry fix-up (serial loop cpu_spmv.cpp:347-353; fixup
+   kernel agent_segment_fixup.cuh) with the look-back machinery replaced
+   by a single collective.
+4. output stays row-sharded as per-shard windows (exclusive after the
+   exchange); `materialize_y` assembles the dense global vector.
 """
 
 from __future__ import annotations
-
-import functools
 
 import numpy as np
 
@@ -44,7 +50,8 @@ def distributed_csrmv_fn(mesh, part: MergePartition, axis: str = "shards",
     """Build the jitted SPMD csrmv for a fixed partition.
 
     Returns fn(values_sh, cols_sh, rowends_sh, meta_sh, x) -> y windows
-    [S, rows_max] sharded along `axis`; x replicated.
+    [S, rows_max] sharded along `axis`.  x is [S, cpad] sharded in halo
+    mode, or the replicated global [C] otherwise.
 
     ``local_backend``: the per-shard SpMV. "pallas" runs the merge-path
     kernel on each chip (interpret mode off-TPU); "xla" the segment-sum
@@ -52,12 +59,14 @@ def distributed_csrmv_fn(mesh, part: MergePartition, axis: str = "shards",
     """
     import jax
     import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
 
     S = part.num_shards
     rows_max = part.rows_max
     nnz_max = part.nnz_max
-    num_rows = part.num_rows
+    halo_mode = part.x_mode == "halo"
+    H = part.halo
+    cpad = part.cpad
 
     platform = mesh.devices.flat[0].platform
     if local_backend == "auto":
@@ -65,62 +74,63 @@ def distributed_csrmv_fn(mesh, part: MergePartition, axis: str = "shards",
     local_plan = None
     if local_backend == "pallas":
         from merge_spmv_tpu.ops.plan import make_plan
-        local_plan = make_plan(rows_max, part.num_cols, nnz_max,
+        local_plan = make_plan(rows_max, part.local_x_width, nnz_max,
                                dtype="float32", backend="pallas")
 
     def shard_body(values, cols, rowends, meta, x):
-        # shapes: [1, nnz_max], [1, rows_max], [1, 4], x replicated [C]
+        # shapes: [1, nnz_max], [1, rows_max], [1, 6];
+        # x: [1, cpad] (halo) or replicated [C]
         values = values[0]
         cols = cols[0]
         rowends = rowends[0]
-        r0 = meta[0, 0]
-        local_rows = meta[0, 2]
+        owned = meta[0, 4]
+        carry_dst = meta[0, 5]
+
+        if halo_mode:
+            xb = x[0]
+            if H and S > 1:
+                lh = jax.lax.ppermute(
+                    xb[cpad - H:], axis,
+                    perm=[(i, i + 1) for i in range(S - 1)])
+                rh = jax.lax.ppermute(
+                    xb[:H], axis, perm=[(i, i - 1) for i in range(1, S)])
+                x_loc = jnp.concatenate([lh, xb, rh])
+            else:
+                x_loc = xb
+        else:
+            x_loc = x
 
         if local_plan is not None:
             from merge_spmv_tpu.ops.csrmv_pallas import csrmv_pallas
             y_local = csrmv_pallas(local_plan, values, rowends, cols,
-                                   alpha * x, interpret=platform != "tpu")
+                                   alpha * x_loc,
+                                   interpret=platform != "tpu")
         else:
-            y_local = _local_csrmv_xla(values, cols, rowends, alpha * x,
-                                       nnz_max)
+            y_local = _local_csrmv_xla(values, cols, rowends,
+                                       alpha * x_loc, nnz_max)
 
-        # ownership: rows [r0, r0 + owned) are mine; the spanning row (if
-        # any) is the window's last row and belongs to a later shard.
-        my_id = jax.lax.axis_index(axis)
-        # owned rows = row_starts[s+1] - row_starts[s]; infer from carries:
-        # window has local_rows rows; the last is spanning iff its end is
-        # clipped — the partition already encoded owned count implicitly:
-        # owned = local_rows - spanning. We transmit it via meta[3] slot:
-        # (meta layout: r0, nnz0, local_rows, local_nnz) — spanning rows
-        # carry forward; owned is recovered from gathered row starts.
-        all_meta = jax.lax.all_gather(meta[0], axis)          # [S, 4]
-        r0_all = all_meta[:, 0]
-        next_r0 = jnp.where(jnp.arange(S) + 1 < S,
-                            jnp.roll(r0_all, -1),
-                            num_rows)
-        owned = next_r0[my_id] - r0
-
-        w = jnp.arange(rows_max, dtype=jnp.int32)
-        # carry out: partial of global row next_r0[me] (window index owned)
+        # carry out: partial of the spanning row (window index `owned`,
+        # present iff owned < local_rows); routed by precomputed dst
+        local_rows = meta[0, 2]
         spanning = owned < local_rows
         carry_val = jnp.where(
-            spanning, jnp.take(y_local, jnp.minimum(owned, rows_max - 1)), 0.0)
-        carry_row = jnp.where(spanning, r0 + owned, jnp.int32(num_rows))
+            spanning,
+            jnp.take(y_local, jnp.minimum(owned, rows_max - 1)), 0.0)
+        routed = jnp.zeros((S,), y_local.dtype).at[carry_dst].set(carry_val)
+        # reduce-scatter: shard d receives sum of carries routed to d —
+        # by construction all of them target d's first local row
+        received = jax.lax.psum_scatter(routed, axis, scatter_dimension=0,
+                                        tiled=True)
 
-        carry_vals = jax.lax.all_gather(carry_val, axis)      # [S]
-        carry_rows = jax.lax.all_gather(carry_row, axis)      # [S]
-
+        w = jnp.arange(rows_max, dtype=jnp.int32)
         y_owned = jnp.where(w < owned, y_local, 0.0)
-        # fold in foreign partials targeting my owned rows (my own carry
-        # targets w == owned, excluded by the ownership mask)
-        hit = (carry_rows[:, None] == (r0 + w)[None, :]) & (w < owned)[None, :]
-        y_owned = y_owned + jnp.sum(jnp.where(hit, carry_vals[:, None], 0.0),
-                                    axis=0)
+        y_owned = y_owned.at[0].add(received[0])
         return y_owned[None]
 
+    x_spec = P(axis) if halo_mode else P()
     mapped = jax.shard_map(
         shard_body, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
+        in_specs=(P(axis), P(axis), P(axis), P(axis), x_spec),
         out_specs=P(axis),
         # pallas_call outputs do not carry varying-mesh-axis metadata yet
         check_vma=False)
@@ -135,7 +145,11 @@ def distributed_csrmv(mesh, part: MergePartition, x, axis: str = "shards",
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     arrays = part.to_device_sharded(mesh, axis)
-    xr = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P()))
+    if part.x_mode == "halo":
+        xr = jax.device_put(jnp.asarray(part.shard_x(x)),
+                            NamedSharding(mesh, P(axis)))
+    else:
+        xr = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P()))
     fn = distributed_csrmv_fn(mesh, part, axis, alpha, local_backend)
     return fn(*arrays, xr)
 

@@ -158,6 +158,32 @@ def dataclasses_replace32(plan):
     return dataclasses.replace(plan, dtype="float32", backend="pallas")
 
 
+def test_operator_prepared_path_matches_raw():
+    """The operator's prepare-once fast path must agree with the raw
+    per-call padding path bit-for-bit (same kernel, same inputs)."""
+    from merge_spmv_tpu.ops.operator import build_operator
+
+    csr = CsrMatrix.from_coo(CASES["powerlaw"]()).astype(np.float32)
+    rs = np.random.RandomState(6)
+    csr.values = rs.uniform(0.1, 1, csr.num_nonzeros).astype(np.float32)
+    x = rs.uniform(0.1, 1, csr.num_cols).astype(np.float32)
+    y_in = rs.uniform(0.1, 1, csr.num_rows).astype(np.float32)
+
+    op = build_operator(csr, dtype="float32", backend="pallas")
+    assert op._prep is not None
+    y_prep = op(jnp.asarray(x), y_in=jnp.asarray(y_in), alpha=2.0,
+                beta=-0.5, interpret=INTERPRET)
+    v, re_, ci = csr.to_device(dtype=np.float32)
+    y_raw = csrmv_pallas(op.plan, v, re_, ci, jnp.asarray(x),
+                         y_in=jnp.asarray(y_in), alpha=2.0, beta=-0.5,
+                         interpret=INTERPRET, meta=op.meta)
+    np.testing.assert_array_equal(np.asarray(y_prep), np.asarray(y_raw))
+    gold = csr.spmv_gold(x, y_in, alpha=2.0, beta=-0.5)
+    bound = csr.spmv_abs_bound(x, y_in, alpha=2.0, beta=-0.5)
+    assert_allclose_ulp(np.asarray(y_prep), gold, context="prepared",
+                        abs_bound=bound)
+
+
 def test_x_window_streaming():
     """x larger than the (test-shrunk) VMEM budget: per-tile column
     windows are streamed; both the operator metadata path and the device

@@ -64,6 +64,51 @@ def test_distributed_vs_gold(name, n_shards):
     assert_allclose_ulp(y, gold, context=f"{name}/{n_shards}")
 
 
+def _banded(n, half_bw, deg, seed):
+    r = np.random.RandomState(seed)
+    rows = np.repeat(np.arange(n, dtype=np.int64), deg)
+    cols = np.clip(rows + r.randint(-half_bw, half_bw + 1, rows.size),
+                   0, n - 1)
+    return CooMatrix(n, n, rows, cols, r.uniform(0.1, 1, rows.size))
+
+
+def test_halo_x_mode_selected_and_correct():
+    """Banded matrix → halo x sharding (no replication): two neighbor
+    ppermutes of the block edges; result must still match gold."""
+    mesh = _mesh(8)
+    csr = CsrMatrix.from_coo(_banded(4096, 300, 4, 7))
+    part = partition_csr(csr, 8, dtype=np.float32)
+    assert part.x_mode == "halo", (part.x_mode, part.halo, part.cpad)
+    assert part.halo <= part.cpad
+    x = np.random.RandomState(1).uniform(0.1, 1, csr.num_cols).astype(np.float32)
+    y = materialize_y(distributed_csrmv(mesh, part, x), part)
+    assert_allclose_ulp(y, csr.astype(np.float32).spmv_gold(x),
+                        context="halo_banded")
+
+
+def test_scattered_matrix_falls_back_to_replicate():
+    csr = CsrMatrix.from_coo(CooMatrix.random_uniform(2000, 2000, 4, seed=8))
+    part = partition_csr(csr, 8, dtype=np.float32)
+    assert part.x_mode == "replicate"
+
+
+def test_carry_dst_precomputed_giant_row():
+    """All shards inside a giant row route their carry straight to the
+    completing shard (no chain); dst is static partition metadata."""
+    csr = CsrMatrix.from_coo(MATRICES["giant_row"]())
+    part = partition_csr(csr, 8, dtype=np.float32)
+    dst = part.meta[:, 5]
+    owned = part.meta[:, 4]
+    # the giant row occupies the early shards; each of them targets the
+    # same completing shard
+    spanning = part.meta[:, 4] < part.meta[:, 2]
+    assert (dst[spanning][:-1] >= np.arange(8)[spanning][:-1]).all()
+    zero_owned = np.nonzero(owned == 0)[0]
+    if len(zero_owned):
+        d0 = dst[zero_owned[0]]
+        assert (dst[zero_owned] == d0).all()
+
+
 def test_alpha_scaling():
     mesh = _mesh(4)
     csr = CsrMatrix.from_coo(MATRICES["grid2d"]())

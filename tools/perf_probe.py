@@ -6,15 +6,15 @@ reschedule around them — attribution was confounded (NOTES.md).  These
 variants instead *shrink* a phase's work while keeping every phase's data
 flow live, so the measured delta is the marginal cost of the shrunk work:
 
-  base     — the production kernel (verified vs gold first)
-  k1       — gather lists truncated to 1 visit/block (delta = marginal
-             cost of (K-1) gather visits)
-  span1    — row-phase unroll forced to 1 chunk visit (delta = marginal
-             cost of (span-1) row visits)
-  nocumsum — cumsum replaced by identity (existing debug_skip; products
-             still feed the row phase)
+  base     — the production prepared-operator path (verified vs gold)
+  k1       — gather lists truncated to 1 visit/block
+  span1    — row-phase unroll forced to 1 chunk visit
+  nocumsum — cumsum replaced by identity (debug_skip)
+  floor    — all three shrinks together (DMA + 1-visit products + write)
+  T<n>     — tile-size sweep points on the base configuration
 
-Usage:  PYTHONPATH=.:$PYTHONPATH python tools/perf_probe.py [grid3d_n]
+Usage:  PYTHONPATH=.:$PYTHONPATH python tools/perf_probe.py [grid3d_n] [variants]
+        variants: comma list from base,k1,span1,nocumsum,floor,sweep
 """
 
 import dataclasses
@@ -52,7 +52,8 @@ def main():
 
     from merge_spmv_tpu.formats.coo import CooMatrix
     from merge_spmv_tpu.formats.csr import CsrMatrix
-    from merge_spmv_tpu.ops.csrmv_pallas import csrmv_pallas
+    from merge_spmv_tpu.ops.csrmv_pallas import (csrmv_pallas_prepared,
+                                                 prepare_csrmv)
     from merge_spmv_tpu.ops.gather_plan import (gather_meta_np,
                                                 pack_tile_meta_np)
     from merge_spmv_tpu.ops.merge_path import merge_tile_coordinates_np
@@ -60,74 +61,84 @@ def main():
     from merge_spmv_tpu.utils.compare import compare_results
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    which = (sys.argv[2].split(",") if len(sys.argv) > 2
+             else ["base", "k1", "span1", "nocumsum", "floor", "sweep"])
     t0 = time.time()
     csr = CsrMatrix.from_coo(CooMatrix.grid3d(n)).astype(np.float32)
     rs = np.random.RandomState(0)
     csr.values = rs.uniform(0.5, 1.5, csr.num_nonzeros).astype(np.float32)
     print(f"matrix {csr.num_rows}x{csr.num_cols} nnz={csr.num_nonzeros} "
           f"({time.time()-t0:.0f}s)", flush=True)
-
-    plan = make_plan(csr.num_rows, csr.num_cols, csr.num_nonzeros,
-                     dtype="float32",
-                     row_end_offsets=csr.row_offsets[1:],
-                     col_indices=csr.col_indices)
-    v, re_, ci = csr.to_device(dtype=np.float32)
-    cnt, lst = gather_meta_np(csr.col_indices, csr.num_nonzeros,
-                              pad_blocks=(plan.tile_items + 1024) // 1024 + 1,
-                              shift=10 if plan.meta_gran == 1024 else 7)
-    _, tile_nnz = merge_tile_coordinates_np(csr.row_offsets[1:],
-                                            csr.num_nonzeros,
-                                            plan.tile_items)
-    meta = jnp.asarray(pack_tile_meta_np(cnt, lst, tile_nnz,
-                                         plan.tile_items))
     gold = csr.spmv_gold(np.ones(csr.num_cols, np.float32))
 
-    def run_variant(name, p, m, skip="", verify=False):
+    def build(tile_items=None, k1=False):
+        plan = make_plan(csr.num_rows, csr.num_cols, csr.num_nonzeros,
+                         dtype="float32", tile_items=tile_items,
+                         row_end_offsets=csr.row_offsets[1:],
+                         col_indices=csr.col_indices)
+        v, re_, ci = csr.to_device(dtype=np.float32)
+        cnt, lst = gather_meta_np(
+            csr.col_indices, csr.num_nonzeros,
+            pad_blocks=(plan.tile_items + 1024) // 1024 + 1,
+            shift=10 if plan.meta_gran == 1024 else 7)
+        if k1:
+            cnt = np.minimum(cnt, 1)
+            lst = lst[:, :1].copy()
+            plan = dataclasses.replace(plan, meta_k=1)
+        _, tile_nnz = merge_tile_coordinates_np(csr.row_offsets[1:],
+                                               csr.num_nonzeros,
+                                               plan.tile_items)
+        meta = jnp.asarray(pack_tile_meta_np(cnt, lst, tile_nnz,
+                                             plan.tile_items))
+        return plan, prepare_csrmv(plan, v, re_, ci, meta=meta)
+
+    def run_variant(name, plan, prep, skip="", verify=False):
         def step(xc):
-            y = csrmv_pallas(p, v, re_, ci, xc, meta=m, debug_skip=skip)
-            return xc + y[:p.num_cols] * 1e-20
+            y = csrmv_pallas_prepared(plan, prep, xc, debug_skip=skip)
+            return xc + y[:plan.num_cols] * 1e-20
 
         step = jax.jit(step)
-        x = jnp.ones((p.num_cols,), jnp.float32)
+        x = jnp.ones((plan.num_cols,), jnp.float32)
         if verify:
-            y = csrmv_pallas(p, v, re_, ci, x, meta=m, debug_skip=skip)
+            y = csrmv_pallas_prepared(plan, prep, x, debug_skip=skip)
             ok = compare_results(np.asarray(y), gold, verbose=False) is None
             print(f"  verify: {'PASS' if ok else 'FAIL'}", flush=True)
         t0 = time.time()
         ms = chained_kernel_ms(step, x)
         gbps = (csr.num_nonzeros * 12 + csr.num_rows * 8) / ms / 1e6
-        print(f"{name:>10}: {ms:8.4f} ms  {gbps:7.1f} GB/s eff  "
+        print(f"{name:>12}: {ms:8.4f} ms  {gbps:7.1f} GB/s eff  "
               f"(wall {time.time()-t0:.0f}s)", flush=True)
         return ms
 
+    plan, prep = build()
     print(plan.describe(), "meta_k", plan.meta_k, "row_span", plan.row_span,
           "r_win", plan.r_win, flush=True)
 
-    base = run_variant("base", plan, meta, verify=True)
+    res = {}
+    if "base" in which:
+        res["base"] = run_variant("base", plan, prep, verify=True)
+    if "k1" in which:
+        plan1, prep1 = build(k1=True)
+        res["k1"] = run_variant("k1", plan1, prep1)
+    if "span1" in which:
+        plan_s = dataclasses.replace(plan, row_span=1)
+        res["span1"] = run_variant("span1", plan_s, prep)
+    if "nocumsum" in which:
+        res["nocumsum"] = run_variant("nocumsum", plan, prep, skip="cumsum")
+    if "floor" in which:
+        plan1, prep1 = build(k1=True)
+        planf = dataclasses.replace(plan1, row_span=1)
+        res["floor"] = run_variant("floor", planf, prep1, skip="cumsum")
+    if "sweep" in which:
+        for T in (98304, 131072):
+            planT, prepT = build(tile_items=T)
+            res[f"T{T}"] = run_variant(f"T{T}", planT, prepT, verify=True)
 
-    # k1: truncate gather lists to a single visit per block
-    cnt1 = np.minimum(cnt, 1)
-    lst1 = lst[:, :1].copy()
-    meta1 = jnp.asarray(pack_tile_meta_np(cnt1, lst1, tile_nnz,
-                                          plan.tile_items))
-    plan1 = dataclasses.replace(plan, meta_k=1)
-    k1 = run_variant("k1", plan1, meta1)
-
-    # span1: single row-phase chunk visit
-    plan_s = dataclasses.replace(plan, row_span=1)
-    s1 = run_variant("span1", plan_s, meta)
-
-    # nocumsum
-    nc = run_variant("nocumsum", plan, meta, skip="cumsum")
-
-    K = plan.meta_k
-    print(f"\nmarginal costs (grid3d{n}):")
-    print(f"  gather {K-1} extra visits/block: {base-k1:8.4f} ms "
-          f"({(base-k1)/max(K-1,1)*1000:6.1f} us/visit-rank)")
-    print(f"  row-phase {plan.row_span-1} extra visits: {base-s1:8.4f} ms")
-    print(f"  cumsum: {base-nc:8.4f} ms")
-    print(f"  residual floor (k1&span1&nocumsum-ish): "
-          f"{base - (base-k1) - (base-s1) - (base-nc):8.4f} ms")
+    if "base" in res:
+        b = res["base"]
+        for k, v in res.items():
+            if k != "base":
+                print(f"  {k}: delta vs base {b - v:+.4f} ms")
 
 
 if __name__ == "__main__":
