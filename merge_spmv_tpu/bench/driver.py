@@ -141,15 +141,22 @@ def _bench_device_backend(backend, csr, x, gold, args, abs_bound=None):
     n2 = max(4, min(iters, 40))
     n1 = max(1, n2 // 4)
 
-    def step(xc):
-        # every element of xc depends on yc so no step can be elided
-        yc = op(xc, y_in=y_in, alpha=alpha, beta=beta)
-        yc = yc.astype(xc.dtype)
-        if csr.num_rows >= csr.num_cols:
-            return xc + yc[:csr.num_cols] * 1e-20
-        return xc + jnp.pad(yc, (0, csr.num_cols - csr.num_rows)) * 1e-20
+    if beta == 0.0 and alpha == 1.0:
+        # arrays-as-arguments step: a jit closure would embed the matrix
+        # in the remote-compile payload (HTTP 413 at circuit5M scale)
+        from merge_spmv_tpu.utils.timers import operator_step_fn
+        step = operator_step_fn(op)
+    else:
+        def step(xc):
+            # every element of xc depends on yc so no step can be elided
+            yc = op(xc, y_in=y_in, alpha=alpha, beta=beta)
+            yc = yc.astype(xc.dtype)
+            if csr.num_rows >= csr.num_cols:
+                return xc + yc[:csr.num_cols] * 1e-20
+            return xc + jnp.pad(yc, (0, csr.num_cols - csr.num_rows)
+                                ) * 1e-20
 
-    step = jax.jit(step)
+        step = jax.jit(step)
     avg_ms = chained_rate_ms(step, xd, n1=n1, n2=n2)
     return BackendResult(backend, avg_ms, setup_t.elapsed_millis(),
                          idx is None, idx)

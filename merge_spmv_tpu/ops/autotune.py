@@ -1,0 +1,142 @@
+"""Tile-size autotuner with a persistent cache — the runtime analog of the
+reference's per-SM compile-time policy ladder (dispatch_spmv_orig.cuh:262-445).
+
+The reference bakes TILE_ITEMS-equivalents into per-architecture template
+policies; on TPU the policy space is one knob (merge items per grid step)
+whose optimum depends on the matrix *shape class*, not just the chip.  The
+tuner times real candidates once per shape class and caches the winner:
+
+    op = build_operator(csr, autotune=True)      # sweeps on first sight
+
+Shape classes bucket (log2 rows, log2 nnz/row, gather mode) — matrices in
+the same bucket share a policy, so the sweep cost (a few compiles) is paid
+once per class per cache file, mirroring how one reference policy serves
+every matrix on a given SM.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import threading
+
+__all__ = ["autotune_tile_items", "shape_class", "DEFAULT_CANDIDATES"]
+
+DEFAULT_CANDIDATES = (32768, 65536, 131072)
+
+_CACHE_PATH = os.environ.get(
+    "MERGE_SPMV_TUNE_CACHE",
+    os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".tune_cache.json"))
+_LOCK = threading.Lock()
+
+
+def shape_class(num_rows: int, num_nonzeros: int, meta_gran: int,
+                meta_k: int, dtype: str) -> str:
+    """Bucket key: matrices in one class share a tile policy."""
+    lr = int(math.log2(max(num_rows, 1)))
+    deg = max(1, num_nonzeros // max(num_rows, 1))
+    ld = int(math.log2(deg))
+    mode = f"g{meta_gran}k{min(meta_k, 16)}" if meta_k else "range"
+    return f"r{lr}_d{ld}_{mode}_{dtype}"
+
+
+def _load_cache() -> dict:
+    try:
+        with open(_CACHE_PATH) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _store(key: str, entry: dict):
+    with _LOCK:
+        cache = _load_cache()
+        cache[key] = entry
+        tmp = _CACHE_PATH + ".tmp"
+        try:
+            with open(tmp, "w") as f:
+                json.dump(cache, f, indent=1)
+            os.replace(tmp, _CACHE_PATH)
+        except OSError:
+            pass
+
+
+def _time_operator(csr, dtype, tile_items, n=12, reps=3):
+    """Chained-dependent timing (tunnel-safe; see utils/timers)."""
+    import time
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from merge_spmv_tpu.ops.operator import build_operator
+
+    op = build_operator(csr, dtype=dtype, tile_items=tile_items)
+    x0 = jnp.ones((csr.num_cols,), jnp.float32)
+    ncols = csr.num_cols
+
+    def step(xc):
+        y = op(xc)
+        if csr.num_rows >= ncols:
+            return xc + y[:ncols].astype(xc.dtype) * 1e-20
+        return xc + jnp.pad(y, (0, ncols - csr.num_rows)
+                            ).astype(xc.dtype) * 1e-20
+
+    step = jax.jit(step)
+    xc = x0
+    for _ in range(3):
+        xc = step(xc)
+    _ = np.asarray(xc[:1])
+    best = 1e30
+    for _ in range(reps):
+        xc = x0
+        t0 = time.perf_counter()
+        for _ in range(n):
+            xc = step(xc)
+        _ = np.asarray(xc[:1])
+        big = time.perf_counter() - t0
+        xc = x0
+        t0 = time.perf_counter()
+        xc = step(xc)
+        _ = np.asarray(xc[:1])
+        one = time.perf_counter() - t0
+        best = min(best, max(big - one, 1e-9) / (n - 1))
+    return best * 1e3
+
+
+def autotune_tile_items(csr, dtype="float32",
+                        candidates=DEFAULT_CANDIDATES,
+                        verbose: bool = False) -> int:
+    """Best tile_items for this matrix's shape class (cached)."""
+    from merge_spmv_tpu.ops.plan import make_plan
+
+    probe = make_plan(csr.num_rows, csr.num_cols, csr.num_nonzeros,
+                      dtype=dtype, row_end_offsets=csr.row_offsets[1:],
+                      col_indices=csr.col_indices)
+    key = shape_class(csr.num_rows, csr.num_nonzeros, probe.meta_gran,
+                      probe.meta_k, probe.dtype)
+    cached = _load_cache().get(key)
+    if cached:
+        return int(cached["tile_items"])
+    if probe.backend not in ("pallas", "pallas_ds"):
+        return probe.tile_items
+
+    results = {}
+    for cand in candidates:
+        try:
+            results[cand] = _time_operator(csr, dtype, cand)
+            if verbose:
+                print(f"  autotune {key}: T={cand}: "
+                      f"{results[cand]:.4f} ms", flush=True)
+        except Exception as e:  # noqa: BLE001 — a candidate may not fit VMEM
+            if verbose:
+                print(f"  autotune {key}: T={cand} failed: {e}",
+                      flush=True)
+    if not results:
+        return probe.tile_items
+    best = min(results, key=results.get)
+    _store(key, {"tile_items": int(best),
+                 "ms": {str(c): round(v, 4) for c, v in results.items()}})
+    return int(best)

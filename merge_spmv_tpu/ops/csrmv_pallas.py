@@ -115,7 +115,7 @@ def _cs_chunk_visit(chunk, l, sq, c, acc, valid=None):
 
 def _spmv_kernel(
     # scalar prefetch
-    tile_rows_ref, tile_nnz_ref, cbase_ref,
+    tile_rows_ref, tile_nnz_ref, cbase_ref, tile_flags_ref,
     # inputs
     x_ref,            # (num_sub, 128): x table (VMEM resident, or HBM
                       # when streamed through per-tile windows)
@@ -125,11 +125,11 @@ def _spmv_kernel(
     y_hbm,
     # scratch (input windows are double-buffered: slot = t & 1)
     vals_s, cols_s, rowends_s, ybase_s, ywin_s, ywrite_s, xwin_s,
-    cs_s, pref_s, carry_s, sems, xsems,
+    cs_s, pref_s, tot_s, ge_s, pe_s, carry_s, sems, xsems,
     *, tile_items: int, r_win: int, num_rows: int, meta_mode: str,
     meta_k: int, meta_gran: int, row_span: int,
     has_ybase: bool, y_vmem: bool, y_pad: int, x_win: int,
-    debug_skip: str = "",
+    runtime_skip: bool = False, debug_skip: str = "",
 ):
     T, R = tile_items, r_win
     TE = T + BLOCK
@@ -182,6 +182,9 @@ def _spmv_kernel(
     @pl.when(t == 0)
     def _():
         carry_s[0] = 0.0
+        carry_s[1] = 0.0
+        carry_s[2] = 0.0
+        carry_s[3] = 0.0
         for d in in_dmas(0, 0):
             d.start()
 
@@ -202,76 +205,104 @@ def _spmv_kernel(
     rows_done = row1 - row0
 
     # --- products: p[j] = values[j] * x[col[j]] -------------------------- #
+    # Processed in CHUNK_BLKS-block chunks, each wrapped in a runtime
+    # branch: row-dominated tiles (the power-law tail) skip the chunks
+    # past their last item instead of running K sentinel visits on every
+    # static block — the skew fix (round-1 power-law ran 0.4-0.7x of
+    # uniform because of exactly this static-shape work).
+    CHUNK_BLKS = 8
+    NCHUNK = -(-BPT // CHUNK_BLKS)
     cur = in_dmas(t, slot)
     cur[1].wait()   # cols
+    cur[0].wait()   # values
     if x_win and "xdma" not in debug_skip:
         cur[-1].wait()   # this tile's streamed x window (always appended last)
     cols2 = cols_s[pl.ds(slot * TE, TE)].reshape(TE // LANES, LANES)
-    parts = []
-    for r in range(BPT):
-        cols_r = cols2[r * SUBLANES:(r + 1) * SUBLANES]
-        l_r = cols_r & (SUBCHUNK - 1)
-        sc_r = cols_r >> 7
-
-        if x_win:
-            cb_t = cbase_ref[t]
-
-            def x_rows(sub, count):
-                # window-relative fetch from this tile's streamed x slice
-                # (double-buffered: this tile's window lives at slot*x_win)
-                rel = jnp.clip(sub - cb_t, 0, x_win - count)
-                return xwin_s[pl.ds(slot * x_win + rel, count), :]
-        else:
-            def x_rows(sub, count):
-                return x_ref[pl.ds(jnp.maximum(sub, 0), count), :]
-
-        def visit_fine(s, acc, l_r=l_r, sc_r=sc_r):
-            # 128-column window: one dynamic sublane fetch + lane gather
-            row = x_rows(s, 1)                            # (1, 128)
-            src = jnp.broadcast_to(row, (SUBLANES, LANES))
-            g = jnp.take_along_axis(src, l_r, axis=1)
-            return acc + jnp.where(sc_r == s, g, 0.0)
-
-        def visit_coarse(c, acc, l_r=l_r, sc_r=sc_r):
-            # 1024-column chunk: compose a lane gather per chunk sublane
-            chunk = x_rows(c * SUBLANES, SUBLANES)        # (8, 128)
-            return _cs_chunk_visit(chunk, l_r, sc_r, c, acc)
-
-        visit = visit_fine if meta_gran == SUBCHUNK else visit_coarse
-
-        if "gather" in debug_skip:
-            parts.append(cols_r.astype(jnp.float32))
-            continue
-        if meta_mode == "list":
-            # full static unroll: padded entries are the -1 sentinel (no
-            # match), so masked visits are no-ops; dynamic loops measured
-            # ~60 cycles/iteration of pure overhead
-            xg = jnp.zeros((SUBLANES, LANES), jnp.float32)
-            for k in range(K):
-                xg = visit(meta_ref[BPT + r * K + k], xg)
-        else:
-            def body(k, acc, r=r):
-                return visit(meta_ref[BPT + r * K] + k, acc)
-
-            xg = jax.lax.fori_loop(0, meta_ref[r], body,
-                                   jnp.zeros((SUBLANES, LANES), jnp.float32))
-        parts.append(xg)
-    xg_all = jnp.concatenate(parts, axis=0)
-
-    cur[0].wait()   # values
     vals2 = vals_s[pl.ds(slot * TE, TE)].reshape(TE // LANES, LANES)
-    flat = _flat_iota((TE // LANES, LANES))
-    item_mask = (flat >= sh_n) & (flat < sh_n + nloc)
-    p = jnp.where(item_mask, vals2 * xg_all, 0.0)
 
-    # --- block-local cumsum + exclusive block-prefix table --------------- #
-    if "cumsum" in debug_skip:
-        cs = p
+    if x_win:
+        cb_t = cbase_ref[t]
+
+        def x_rows(sub, count):
+            # window-relative fetch from this tile's streamed x slice
+            # (double-buffered: this tile's window lives at slot*x_win)
+            rel = jnp.clip(sub - cb_t, 0, x_win - count)
+            return xwin_s[pl.ds(slot * x_win + rel, count), :]
     else:
-        cs = _cumsum_local(p)
-    cs_s[...] = cs.reshape(BPT, SUBLANES, LANES)
-    tot = jnp.sum(p.reshape(BPT, SUBLANES * LANES), axis=1,
-                  keepdims=True)                           # (BPT, 1)
+        def x_rows(sub, count):
+            return x_ref[pl.ds(jnp.maximum(sub, 0), count), :]
+
+    items_end = sh_n + nloc
+
+    for chunk in range(NCHUNK):
+        r0b = chunk * CHUNK_BLKS
+        nb = min(CHUNK_BLKS, BPT - r0b)
+
+        def _products_chunk(chunk=chunk, r0b=r0b, nb=nb):
+            parts = []
+            for r in range(r0b, r0b + nb):
+                cols_r = cols2[r * SUBLANES:(r + 1) * SUBLANES]
+                l_r = cols_r & (SUBCHUNK - 1)
+                sc_r = cols_r >> 7
+
+                def visit_fine(s, acc, l_r=l_r, sc_r=sc_r):
+                    # 128-col window: dynamic sublane fetch + lane gather
+                    row = x_rows(s, 1)                    # (1, 128)
+                    src = jnp.broadcast_to(row, (SUBLANES, LANES))
+                    g = jnp.take_along_axis(src, l_r, axis=1)
+                    return acc + jnp.where(sc_r == s, g, 0.0)
+
+                def visit_coarse(c, acc, l_r=l_r, sc_r=sc_r):
+                    chunkx = x_rows(c * SUBLANES, SUBLANES)   # (8, 128)
+                    return _cs_chunk_visit(chunkx, l_r, sc_r, c, acc)
+
+                visit = (visit_fine if meta_gran == SUBCHUNK
+                         else visit_coarse)
+
+                if "gather" in debug_skip:
+                    parts.append(cols_r.astype(jnp.float32))
+                    continue
+                if meta_mode == "list":
+                    # static unroll: -1 sentinel visits are no-ops;
+                    # dynamic loops cost ~60 cycles/iteration
+                    xg = jnp.zeros((SUBLANES, LANES), jnp.float32)
+                    for k in range(K):
+                        xg = visit(meta_ref[BPT + r * K + k], xg)
+                else:
+                    def body(k, acc, r=r):
+                        return visit(meta_ref[BPT + r * K] + k, acc)
+
+                    xg = jax.lax.fori_loop(
+                        0, meta_ref[r], body,
+                        jnp.zeros((SUBLANES, LANES), jnp.float32))
+                parts.append(xg)
+            xg_c = jnp.concatenate(parts, axis=0)
+            vals_c = vals2[r0b * SUBLANES:(r0b + nb) * SUBLANES]
+            flat_c = _flat_iota((nb * SUBLANES, LANES)) + r0b * BLOCK
+            mask_c = (flat_c >= sh_n) & (flat_c < items_end)
+            p_c = jnp.where(mask_c, vals_c * xg_c, 0.0)
+            cs_c = p_c if "cumsum" in debug_skip else _cumsum_local(p_c)
+            cs_s[pl.ds(r0b, nb)] = cs_c.reshape(nb, SUBLANES, LANES)
+            tot_c = jnp.sum(p_c.reshape(nb, SUBLANES * LANES), axis=1,
+                            keepdims=True)                 # (nb, 1)
+            tot_s[pl.ds(r0b, nb)] = jnp.broadcast_to(tot_c, (nb, LANES))
+
+        if not runtime_skip:
+            _products_chunk()
+        else:
+            # runtime-skipped form (skewed plans only: branch boundaries
+            # measurably serialize the uniform-case pipeline)
+            pl.when(jnp.int32(r0b * BLOCK) < items_end)(_products_chunk)
+
+            @pl.when(jnp.int32(r0b * BLOCK) >= items_end)
+            def _(r0b=r0b, nb=nb):
+                # inactive chunk: totals must read as zero for the prefix
+                # tree (cs_s staleness is safe — row-end positions are
+                # clipped into the active range)
+                tot_s[pl.ds(r0b, nb)] = jnp.zeros((nb, LANES), jnp.float32)
+
+    # --- exclusive block-prefix tree over per-block totals --------------- #
+    tot = tot_s[:, 0:1]                                    # (BPT, 1)
     bi = jax.lax.broadcasted_iota(jnp.int32, (BPT, 1), 0)
     # exclusive block-prefix tree (row sums use prefix *differences*, so
     # rows within one block cancel the prefix exactly; spanning rows see
@@ -284,57 +315,114 @@ def _spmv_kernel(
     pref_s[...] = jnp.broadcast_to(pref, (BPT, LANES))
     total = jnp.sum(tot)
 
-    # --- per-row sums: first differences of cs at row-end positions ------ #
+    # --- y window preparation (before per-group updates) ------------------ #
+    if y_vmem:
+        @pl.when(t == 0)
+        def _():
+            if has_ybase:
+                dma_b = pltpu.make_async_copy(ybase_hbm.at[pl.ds(0, y_pad)],
+                                              ywin_s, sems.at[3, 0])
+                dma_b.start()
+                dma_b.wait()
+            else:
+                ywin_s[:] = jnp.zeros((y_pad,), jnp.float32)
+    else:
+        if has_ybase:
+            cur[3].wait()
+            base = ybase_s[pl.ds(slot * R, R)].reshape(R // LANES, LANES)
+        else:
+            base = jnp.zeros((R // LANES, LANES), jnp.float32)
+
+        @pl.when(t == 0)
+        def _():
+            ywin_s[:] = base.reshape(R)
+
+        @pl.when(t > 0)
+        def _():
+            arow_prev = pl.multiple_of(
+                (tile_rows_ref[jnp.maximum(t - 1, 0)] // BLOCK) * BLOCK,
+                BLOCK)
+            d_sub = (arow0 - arow_prev) // LANES          # multiple of 8
+            # dynamic roll is only modular-correct on power-of-2 sublane
+            # counts (hardware barrel rotate): pad rows to the next pow2
+            rb = R // LANES
+            rb2 = 1 << (rb - 1).bit_length()
+            win = ywin_s[:].reshape(rb, LANES)
+            if rb2 != rb:
+                win = jnp.concatenate(
+                    [win, jnp.zeros((rb2 - rb, LANES), jnp.float32)],
+                    axis=0)
+            held = pltpu.roll(win, -d_sub, 0)[:rb]
+            rowpos = jax.lax.broadcasted_iota(jnp.int32, held.shape, 0)
+            ywin_s[:] = jnp.where(rowpos < rb - d_sub, held,
+                                  base).reshape(R)
+
+    # --- per-row sums: 1024-row groups; skewed plans runtime-skip groups
+    # past the tile's active rows (the power-law tail pays only for rows
+    # it actually completes).  Group bodies stay scalar/SMEM-free — the
+    # gathered values land in scratch and the epilogue is one vectorized
+    # pass (per-group SMEM chains measurably serialize the pipeline).    #
     cur[2].wait()   # row ends
-    rowe2 = rowends_s[pl.ds(slot * R, R)].reshape(R // LANES, LANES)
-    ends_rel = jnp.clip(rowe2 - nnz0, 0, nloc) + sh_n     # in [sh_n, sh_n+nloc]
-    pos = ends_rel - 1                                    # cs_at(e) = cs[e-1]
+    rows_end_w = sh_r + rows_done
+
     def pref_visit(c, cb, acc_p):
         hit = cb == c
         prow = jnp.broadcast_to(pref_s[pl.ds(c, 1), :], hit.shape)
         return acc_p + jnp.where(hit, prow, 0.0)
 
-    gparts = []
-    pparts = []
     for j in range(RB if "rows" not in debug_skip else 0):
-        pj = jnp.clip(pos[j * SUBLANES:(j + 1) * SUBLANES], 0, TE - 1)
-        l_j = pj & (LANES - 1)
-        sq_j = pj >> 7
-        cb_j = pj >> 10
-        c_lo = jnp.min(pj) >> 10
-        c_hi = jnp.max(pj) >> 10
-        cnt = c_hi - c_lo + 1
-        zero = jnp.zeros((SUBLANES, LANES), jnp.float32)
-        if 0 < row_span <= ROW_UNROLL_CAP:
-            head = row_span            # covers every register: no tail
-        else:
-            head = min(4, BPT)         # skewed spans: cheap static floor
-        gj = zero
-        pj_acc = zero
-        for k in range(head):
-            c = jnp.minimum(c_lo + k, BPT - 1)
-            valid = jnp.full((SUBLANES, LANES), k < cnt)
-            gj = _cs_chunk_visit(cs_s[c], l_j, sq_j, c, gj, valid)
-            pj_acc = pref_visit(c, jnp.where(valid, cb_j, -1), pj_acc)
-        if not (0 < row_span <= ROW_UNROLL_CAP):
-            def cbody(c, acc, l_j=l_j, sq_j=sq_j, cb_j=cb_j):
-                g, ap = acc
-                g = _cs_chunk_visit(cs_s[c], l_j, sq_j, c, g)
-                return g, pref_visit(c, cb_j, ap)
+        def _row_group(j=j):
+            rowe_j = rowends_s[pl.ds(slot * R + j * BLOCK, BLOCK)
+                               ].reshape(SUBLANES, LANES)
+            ends_rel = jnp.clip(rowe_j - nnz0, 0, nloc) + sh_n
+            pj = jnp.clip(ends_rel - 1, 0, TE - 1)
+            l_j = pj & (LANES - 1)
+            sq_j = pj >> 7
+            cb_j = pj >> 10
+            c_lo = jnp.min(pj) >> 10
+            c_hi = jnp.max(pj) >> 10
+            cnt = c_hi - c_lo + 1
+            zero = jnp.zeros((SUBLANES, LANES), jnp.float32)
+            if 0 < row_span <= ROW_UNROLL_CAP:
+                head = row_span        # covers every register: no tail
+            else:
+                head = min(4, BPT)     # skewed spans: cheap static floor
+            gj = zero
+            pj_acc = zero
+            for k in range(head):
+                c = jnp.minimum(c_lo + k, BPT - 1)
+                valid = jnp.full((SUBLANES, LANES), k < cnt)
+                gj = _cs_chunk_visit(cs_s[c], l_j, sq_j, c, gj, valid)
+                pj_acc = pref_visit(c, jnp.where(valid, cb_j, -1), pj_acc)
+            if not (0 < row_span <= ROW_UNROLL_CAP):
+                def cbody(c, acc, l_j=l_j, sq_j=sq_j, cb_j=cb_j):
+                    g, ap = acc
+                    g = _cs_chunk_visit(cs_s[c], l_j, sq_j, c, g)
+                    return g, pref_visit(c, cb_j, ap)
 
-            gj, pj_acc = jax.lax.fori_loop(
-                jnp.minimum(c_lo + head, c_hi + 1), c_hi + 1, cbody,
-                (gj, pj_acc))
-        gparts.append(gj)
-        pparts.append(pj_acc)
-    if "rows" in debug_skip:
-        gparts = [jnp.zeros((SUBLANES, LANES), jnp.float32)] * RB
-        pparts = list(gparts)
-    cs_end = jnp.concatenate(gparts, axis=0)              # (R/128, 128) local
-    pf_end = jnp.concatenate(pparts, axis=0)              # block prefixes
-    ends_valid = ends_rel > 0
-    cs_end = jnp.where(ends_valid, cs_end, 0.0)
-    pf_end = jnp.where(ends_valid, pf_end, 0.0)
+                gj, pj_acc = jax.lax.fori_loop(
+                    jnp.minimum(c_lo + head, c_hi + 1), c_hi + 1, cbody,
+                    (gj, pj_acc))
+            ends_valid = ends_rel > 0
+            ge_s[pl.ds(j * BLOCK, BLOCK)] = jnp.where(
+                ends_valid, gj, 0.0).reshape(BLOCK)
+            pe_s[pl.ds(j * BLOCK, BLOCK)] = jnp.where(
+                ends_valid, pj_acc, 0.0).reshape(BLOCK)
+
+        if not runtime_skip:
+            _row_group()
+        else:
+            pl.when(jnp.int32(j * BLOCK) < rows_end_w)(_row_group)
+
+            @pl.when(jnp.int32(j * BLOCK) >= rows_end_w)
+            def _(j=j):
+                ge_s[pl.ds(j * BLOCK, BLOCK)] = jnp.zeros((BLOCK,),
+                                                          jnp.float32)
+                pe_s[pl.ds(j * BLOCK, BLOCK)] = jnp.zeros((BLOCK,),
+                                                          jnp.float32)
+
+    cs_end = ge_s[:].reshape(R // LANES, LANES)
+    pf_end = pe_s[:].reshape(R // LANES, LANES)
 
     flat_r = _flat_iota((R // LANES, LANES))
     first_col = jax.lax.broadcasted_iota(jnp.int32, cs_end.shape, 1) == 0
@@ -356,34 +444,22 @@ def _spmv_kernel(
     # --- carry in / carry out (replaces the fixup kernel) ---------------- #
     carry_in = carry_s[0]
     rowsum = rowsum + jnp.where(flat_r == sh_r, carry_in, 0.0)
-    row_mask = (flat_r >= sh_r) & (flat_r < sh_r + rows_done)
-    last_sel = flat_r == sh_r + rows_done - 1
+    row_mask = (flat_r >= sh_r) & (flat_r < rows_end_w)
+    last_sel = flat_r == rows_end_w - 1
     cs_last = jnp.sum(jnp.where(last_sel, cs_end + pf_end, 0.0))
-    # max instead of sum: integer reductions promote to int64 under
-    # jax_enable_x64, which Mosaic cannot lower (exactly one position is
-    # selected, so max == sum here)
-    end_last = jnp.max(jnp.where(last_sel, ends_rel, jnp.int32(-1)))
     # When the last completed row consumes every tile item, the carry must
     # be exactly 0.0 — the shift-add cumsum associates differently at
     # different positions, so total - cs_last could leak an epsilon into
-    # the next tile's first row (a row ending on a tile boundary).
+    # the next tile's first row.  That boundary predicate is the
+    # precomputed tile flag (a dynamic scalar read of the row-end window
+    # cannot be lowered).
     carry_s[0] = jnp.where(
         rows_done > 0,
-        jnp.where(end_last >= sh_n + nloc, 0.0, total - cs_last),
+        jnp.where(tile_flags_ref[t] > 0, 0.0, total - cs_last),
         carry_in + total)
 
     if y_vmem:
-        # --- whole y resident in VMEM: no per-tile write, no rolling ----- #
-        @pl.when(t == 0)
-        def _():
-            if has_ybase:
-                dma_b = pltpu.make_async_copy(ybase_hbm.at[pl.ds(0, y_pad)],
-                                              ywin_s, sems.at[3, 0])
-                dma_b.start()
-                dma_b.wait()
-            else:
-                ywin_s[:] = jnp.zeros((y_pad,), jnp.float32)
-
+        # --- whole y resident in VMEM: add, one final write ------------- #
         yw = ywin_s[pl.ds(arow0, R)].reshape(R // LANES, LANES)
         ywin_s[pl.ds(arow0, R)] = (
             yw + jnp.where(row_mask, rowsum, 0.0)).reshape(R)
@@ -396,40 +472,11 @@ def _spmv_kernel(
             dma_w.wait()
         return
 
-    # --- rolling y window: shift, merge y-base, add completed rows ------- #
-    if has_ybase:
-        cur[3].wait()
-        base = ybase_s[pl.ds(slot * R, R)].reshape(R // LANES, LANES)
-    else:
-        base = jnp.zeros((R // LANES, LANES), jnp.float32)
-
-    @pl.when(t == 0)
-    def _():
-        ywin_s[:] = base.reshape(R)
-
-    @pl.when(t > 0)
-    def _():
-        arow_prev = pl.multiple_of(
-            (tile_rows_ref[jnp.maximum(t - 1, 0)] // BLOCK) * BLOCK, BLOCK)
-        d_sub = (arow0 - arow_prev) // LANES              # multiple of 8
-        # dynamic roll is only modular-correct on power-of-2 sublane counts
-        # (hardware barrel rotate): pad rows to the next power of two
-        rb = R // LANES
-        rb2 = 1 << (rb - 1).bit_length()
-        win = ywin_s[:].reshape(rb, LANES)
-        if rb2 != rb:
-            win = jnp.concatenate(
-                [win, jnp.zeros((rb2 - rb, LANES), jnp.float32)], axis=0)
-        held = pltpu.roll(win, -d_sub, 0)[:rb]
-        rowpos = jax.lax.broadcasted_iota(jnp.int32, held.shape, 0)
-        ywin_s[:] = jnp.where(rowpos < rb - d_sub, held,
-                              base).reshape(R)
-
+    # --- rolling window: add completed rows, staged async write ---------- #
     ywin = ywin_s[:].reshape(R // LANES, LANES)
     ywin = ywin + jnp.where(row_mask, rowsum, 0.0)
     ywin_s[:] = ywin.reshape(R)
 
-    # --- staged async write of the window -------------------------------- #
     # serialize against the previous tile's (overlapping) write first
     @pl.when(t > 0)
     def _():
@@ -501,7 +548,16 @@ def _prepare_traced(plan: SpmvPlan, cols_p, rowends_p, meta, cbase):
     if plan.x_win:
         cbase = jnp.clip(cbase, 0, max(0, num_sub - plan.x_win))
     cbase = cbase.astype(jnp.int32)
-    return tile_rows, tile_nnz, cbase, meta
+
+    # Boundary flags: tile t's last completed row ends exactly at the
+    # tile's last item (its carry-out must be EXACTLY zero; the kernel
+    # cannot read a dynamic scalar out of the VMEM row-end window).
+    row1 = tile_rows[1:]
+    re_at = jnp.take(rowends_p, jnp.maximum(row1 - 1, 0).astype(jnp.int32))
+    tile_flags = ((row1 > tile_rows[:-1])
+                  & (re_at >= tile_nnz[1:])).astype(jnp.int32)
+    tile_flags = jnp.pad(tile_flags, (0, 1))
+    return tile_rows, tile_nnz, cbase, meta, tile_flags
 
 
 @functools.partial(jax.jit, static_argnums=(0, 8, 9))
@@ -513,17 +569,18 @@ def _csrmv_pallas_padded(plan: SpmvPlan, values_p, cols_p, rowends_p,
     if isinstance(meta, tuple):
         meta, cbase = meta
     provided = meta is not None
-    tile_rows, tile_nnz, cbase, meta = _prepare_traced(
+    tile_rows, tile_nnz, cbase, meta, tile_flags = _prepare_traced(
         plan, cols_p, rowends_p, meta, cbase)
     return _csrmv_pallas_core(
         plan, values_p, cols_p, rowends_p, tile_rows, tile_nnz, cbase,
-        meta, alpha * x, y_base_p,
+        tile_flags, meta, alpha * x, y_base_p,
         meta_is_list=bool(plan.meta_k) and provided,
         interpret=interpret, debug_skip=debug_skip)
 
 
 def _csrmv_pallas_core(plan: SpmvPlan, values_p, cols_p, rowends_p,
-                       tile_rows, tile_nnz, cbase, meta, x_scaled, y_base_p,
+                       tile_rows, tile_nnz, cbase, tile_flags, meta,
+                       x_scaled, y_base_p,
                        *, meta_is_list: bool, interpret, debug_skip=""):
     """The pallas_call invocation; all per-matrix prep already done."""
     T = plan.tile_items
@@ -560,7 +617,7 @@ def _csrmv_pallas_core(plan: SpmvPlan, values_p, cols_p, rowends_p,
                      memory_space=pltpu.SMEM),   # per-tile gather meta
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(num_tiles,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
@@ -578,7 +635,10 @@ def _csrmv_pallas_core(plan: SpmvPlan, values_p, cols_p, rowends_p,
                        jnp.float32),                         # x windows (2 slots)
             pltpu.VMEM((BPT, SUBLANES, LANES), jnp.float32),  # cumsum table
             pltpu.VMEM((BPT, LANES), jnp.float32),            # block prefixes
-            pltpu.SMEM((1,), jnp.float32),                   # row carry
+            pltpu.VMEM((BPT, LANES), jnp.float32),            # block totals
+            pltpu.VMEM((R,), jnp.float32),   # row-end local cumsum stage
+            pltpu.VMEM((R,), jnp.float32),   # row-end block-prefix stage
+            pltpu.SMEM((4,), jnp.float32),   # carry (+ reserved)
             pltpu.SemaphoreType.DMA((5, 2)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -590,7 +650,8 @@ def _csrmv_pallas_core(plan: SpmvPlan, values_p, cols_p, rowends_p,
         meta_gran=meta_gran,
         row_span=plan.row_span if plan.row_span else BPT,
         has_ybase=has_ybase, y_vmem=y_vmem, y_pad=out_len,
-        x_win=plan.x_win, debug_skip=debug_skip)
+        x_win=plan.x_win, runtime_skip=plan.runtime_skip,
+        debug_skip=debug_skip)
 
     if y_base_p is None:
         y_base_p = jnp.zeros((8,), jnp.float32)   # placeholder, never read
@@ -603,8 +664,8 @@ def _csrmv_pallas_core(plan: SpmvPlan, values_p, cols_p, rowends_p,
             dimension_semantics=("arbitrary",),   # sequential: carry chain
         ),
         interpret=bool(interpret),
-    )(tile_rows, tile_nnz, cbase, x_packed, values_p, cols_p, rowends_p,
-      y_base_p, meta)
+    )(tile_rows, tile_nnz, cbase, tile_flags, x_packed, values_p, cols_p,
+      rowends_p, y_base_p, meta)
     return y[:plan.num_rows]
 
 
@@ -657,6 +718,7 @@ class PreparedCsrmv(typing.NamedTuple):
     cbase: object
     meta: object
     meta_is_list: bool
+    tile_flags: object = None
 
 
 def pad_csr_arrays(plan: SpmvPlan, values, row_end_offsets, col_indices):
@@ -686,20 +748,21 @@ def prepare_csrmv(plan: SpmvPlan, values, row_end_offsets, col_indices,
     with jax.enable_x64(False):
         values_p, cols_p, rowends_p = pad_csr_arrays(
             plan, values, row_end_offsets, col_indices)
-        tile_rows, tile_nnz, cbase, meta = jax.jit(
+        tile_rows, tile_nnz, cbase, meta, tile_flags = jax.jit(
             _prepare_traced, static_argnums=0)(plan, cols_p, rowends_p,
                                                meta, cbase)
     return PreparedCsrmv(values_p, cols_p, rowends_p, tile_rows, tile_nnz,
                          cbase, meta,
-                         meta_is_list=bool(plan.meta_k) and provided)
+                         meta_is_list=bool(plan.meta_k) and provided,
+                         tile_flags=tile_flags)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("plan", "meta_is_list", "alpha_one",
                                     "interpret", "debug_skip"))
 def _prepared_call(plan, values_p, cols_p, rowends_p, tile_rows, tile_nnz,
-                   cbase, meta, x, y_in, alpha, beta, *, meta_is_list,
-                   alpha_one, interpret, debug_skip=""):
+                   cbase, tile_flags, meta, x, y_in, alpha, beta, *,
+                   meta_is_list, alpha_one, interpret, debug_skip=""):
     f32 = jnp.float32
     out_len = -(-(plan.num_rows + plan.r_win + BLOCK) // BLOCK) * BLOCK
     rpad = out_len - plan.num_rows
@@ -710,7 +773,7 @@ def _prepared_call(plan, values_p, cols_p, rowends_p, tile_rows, tile_nnz,
     x_scaled = x.astype(f32) if alpha_one else alpha * x.astype(f32)
     return _csrmv_pallas_core(
         plan, values_p, cols_p, rowends_p, tile_rows, tile_nnz, cbase,
-        meta, x_scaled, y_base_p, meta_is_list=meta_is_list,
+        tile_flags, meta, x_scaled, y_base_p, meta_is_list=meta_is_list,
         interpret=interpret, debug_skip=debug_skip)
 
 
@@ -724,8 +787,9 @@ def csrmv_pallas_prepared(plan: SpmvPlan, prep: PreparedCsrmv, x,
         beta = jnp.asarray(beta, jnp.float32)
         return _prepared_call(
             plan, prep.values_p, prep.cols_p, prep.rowends_p,
-            prep.tile_rows, prep.tile_nnz, prep.cbase, prep.meta,
-            x, y_in, alpha, beta, meta_is_list=prep.meta_is_list,
+            prep.tile_rows, prep.tile_nnz, prep.cbase, prep.tile_flags,
+            prep.meta, x, y_in, alpha, beta,
+            meta_is_list=prep.meta_is_list,
             alpha_one=alpha_one, interpret=bool(interpret),
             debug_skip=debug_skip)
 

@@ -98,6 +98,47 @@ class SpmvOperator:
                      interpret=interpret, meta=self.meta)
 
     def mm(self, X, Y_in=None, alpha=1.0, beta=0.0, interpret: bool = False):
+        """SpMM.  fp32 pallas plans route to the wide multi-RHS kernel
+        (ops/csrmm_pallas.py) with a per-k cached plan/prep; k > 128 is
+        processed in 128-column passes.  Other backends fall back to the
+        csrmm dispatcher."""
+        import jax.numpy as jnp
+        k = X.shape[1]
+        if self.plan.backend == "pallas" and k >= 2:
+            from merge_spmv_tpu.ops.csrmm_pallas import (
+                csrmm_wide_prepared, make_mm_plan, prepare_csrmm)
+            kc = min(k, 128)
+            key = 8 * -(-kc // 8)
+            if not hasattr(self, "_mm_cache"):
+                self._mm_cache = {}
+            if key not in self._mm_cache:
+                rowends_np = np.asarray(self.row_end_offsets)
+                cols_np = np.asarray(self.col_indices)
+                plan = make_mm_plan(
+                    self.plan.num_rows, self.plan.num_cols,
+                    self.plan.num_nonzeros, key,
+                    row_end_offsets=rowends_np, col_indices=cols_np)
+                prep = None
+                if plan.backend != "xla":
+                    # gather metadata must be re-packed for the mm tile
+                    # size (the csrmv packing is tile-size-specific)
+                    meta_mm = _build_packed_meta(plan, rowends_np, cols_np)
+                    prep = prepare_csrmm(plan, self.values,
+                                         self.row_end_offsets,
+                                         self.col_indices, meta=meta_mm)
+                self._mm_cache[key] = (plan, prep)
+            plan, prep = self._mm_cache[key]
+            if prep is not None:
+                outs = []
+                for c0 in range(0, k, 128):
+                    Xc = X[:, c0:c0 + 128]
+                    Yc = None if Y_in is None else Y_in[:, c0:c0 + 128]
+                    outs.append(csrmm_wide_prepared(
+                        plan, prep, Xc, Y_in=Yc, alpha=alpha, beta=beta,
+                        interpret=interpret))
+                Y = outs[0] if len(outs) == 1 else jnp.concatenate(
+                    outs, axis=1)
+                return Y.astype(jnp.dtype(self.plan.dtype))
         from merge_spmv_tpu.ops.csrmv import csrmm
         return csrmm(self.plan, self.values, self.row_end_offsets,
                      self.col_indices, X, Y_in=Y_in, alpha=alpha, beta=beta,
@@ -107,12 +148,11 @@ class SpmvOperator:
         return self.plan.describe()
 
 
-def build_operator(csr, dtype="float32", backend: str = "auto",
-                   tile_items: Optional[int] = None) -> SpmvOperator:
-    """Build the operator from a host CsrMatrix (formats/csr.py).
+def _build_packed_meta(plan: SpmvPlan, row_end_offsets_np, col_indices_np):
+    """Host gather-plan construction, packed for `plan`'s tile size.
 
-    Computes the gather plan on the host (one pass over col_indices) and
-    uploads everything once.
+    Returns None (no list metadata for this plan), a packed meta array, or
+    a (meta, cbase) tuple when the plan streams x windows.
     """
     import jax.numpy as jnp
 
@@ -120,26 +160,45 @@ def build_operator(csr, dtype="float32", backend: str = "auto",
                                                 pack_tile_meta_np)
     from merge_spmv_tpu.ops.merge_path import merge_tile_coordinates_np
 
+    if not plan.meta_k:
+        return None
+    bpt = (plan.tile_items + 1024) // 1024 + 1
+    cnt, lst = gather_meta_np(col_indices_np, plan.num_nonzeros,
+                              pad_blocks=bpt,
+                              shift=10 if plan.meta_gran == 1024 else 7)
+    assert lst.shape[1] == plan.meta_k
+    _, tile_nnz = merge_tile_coordinates_np(
+        row_end_offsets_np, plan.num_nonzeros, plan.tile_items)
+    meta = jnp.asarray(pack_tile_meta_np(cnt, lst, tile_nnz,
+                                         plan.tile_items))
+    if plan.x_win:
+        from merge_spmv_tpu.ops.gather_plan import tile_col_meta_np
+        cbase, _ = tile_col_meta_np(col_indices_np, plan.num_nonzeros,
+                                    row_end_offsets_np, plan.tile_items)
+        return (meta, jnp.asarray(cbase))
+    return meta
+
+
+def build_operator(csr, dtype="float32", backend: str = "auto",
+                   tile_items: Optional[int] = None,
+                   autotune: bool = False) -> SpmvOperator:
+    """Build the operator from a host CsrMatrix (formats/csr.py).
+
+    Computes the gather plan on the host (one pass over col_indices) and
+    uploads everything once.  ``autotune=True`` sweeps tile sizes once
+    per matrix shape class and caches the winner (ops/autotune.py) — the
+    runtime analog of the reference's per-SM policy ladder.
+    """
+    if autotune and tile_items is None:
+        from merge_spmv_tpu.ops.autotune import autotune_tile_items
+        tile_items = autotune_tile_items(csr, dtype=dtype)
     plan = make_plan(csr.num_rows, csr.num_cols, csr.num_nonzeros,
                      dtype=dtype, tile_items=tile_items, backend=backend,
                      row_end_offsets=csr.row_offsets[1:],
                      col_indices=csr.col_indices)
     values, rowends, cols = csr.to_device(dtype=plan.dtype)
     meta = None
-    if plan.backend in ("pallas", "pallas_ds") and plan.meta_k:
-        bpt = (plan.tile_items + 1024) // 1024 + 1
-        cnt, lst = gather_meta_np(csr.col_indices, csr.num_nonzeros,
-                                  pad_blocks=bpt,
-                                  shift=10 if plan.meta_gran == 1024 else 7)
-        assert lst.shape[1] == plan.meta_k
-        _, tile_nnz = merge_tile_coordinates_np(
-            csr.row_offsets[1:], csr.num_nonzeros, plan.tile_items)
-        meta = jnp.asarray(pack_tile_meta_np(cnt, lst, tile_nnz,
-                                             plan.tile_items))
-        if plan.x_win:
-            from merge_spmv_tpu.ops.gather_plan import tile_col_meta_np
-            cbase, _ = tile_col_meta_np(csr.col_indices, csr.num_nonzeros,
-                                        csr.row_offsets[1:],
-                                        plan.tile_items)
-            meta = (meta, jnp.asarray(cbase))
+    if plan.backend in ("pallas", "pallas_ds"):
+        meta = _build_packed_meta(plan, csr.row_offsets[1:],
+                                  csr.col_indices)
     return SpmvOperator(plan, values, rowends, cols, meta=meta)

@@ -73,6 +73,8 @@ class SpmvPlan:
     meta_gran: int = 128       # gather window granularity (128 | 1024 cols)
     y_in_vmem: bool = False    # whole y VMEM-resident (one final write DMA)
     x_win: int = 0             # x-window subchunks when streaming (0 = x resident)
+    runtime_skip: bool = False  # branchy kernel: skip inactive chunks/groups
+                                # (skewed shapes only; branches cost on uniform)
 
     @property
     def num_merge_items(self) -> int:
@@ -221,13 +223,24 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
             meta_k = 0
             meta_gran = 1024
 
+    # Runtime skipping (branchy kernel): worth it only when the static
+    # shapes are much larger than the mean per-tile work — i.e. skewed
+    # row lengths force r_win (max rows/tile) or the item window far past
+    # the average.  On uniform shapes the branch boundaries measurably
+    # serialize the pipeline (≈2x on grid3d100), so keep them off there.
+    num_tiles = num_merge_tiles(num_rows, num_nonzeros, tile_items)
+    mean_rows = num_rows / max(num_tiles, 1)
+    mean_items = num_nonzeros / max(num_tiles, 1)
+    runtime_skip = (mean_rows < 0.5 * r_win
+                    or mean_items < 0.5 * tile_items)
+
     return SpmvPlan(
         num_rows=int(num_rows),
         num_cols=int(num_cols),
         num_nonzeros=int(num_nonzeros),
         dtype=dname,
         tile_items=int(tile_items),
-        num_tiles=num_merge_tiles(num_rows, num_nonzeros, tile_items),
+        num_tiles=num_tiles,
         backend=resolved,
         x_in_vmem=bool(x_in_vmem),
         num_rhs=int(num_rhs),
@@ -237,4 +250,5 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
         meta_gran=int(meta_gran),
         y_in_vmem=bool(y_in_vmem),
         x_win=int(x_win),
+        runtime_skip=bool(runtime_skip),
     )

@@ -111,6 +111,64 @@ def chained_rate_ms(step_fn, x0, n1: int = 5, n2: int = 20, reps: int = 3,
     return max((t2 - t1) / (n2 - n1), 1e-9) * 1e3
 
 
+def operator_step_fn(op):
+    """Chained-timing step for a SpmvOperator with the matrix arrays passed
+    as jit ARGUMENTS.
+
+    A `jax.jit(lambda x: op(x) ...)` closure captures the device-resident
+    CSR arrays as compile-time constants; on relayed compile services
+    (axon tunnel) those constants ride inside the compile request, which
+    overflows the request-size limit for large matrices (HTTP 413 at
+    ~680 MB for a circuit5M-class matrix).  Passing them as runtime
+    arguments keeps the payload to the HLO alone.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    plan = op.plan
+    ncols = plan.num_cols
+
+    if getattr(op, "_prep", None) is not None and plan.backend == "pallas":
+        from merge_spmv_tpu.ops.csrmv_pallas import _prepared_call
+        prep = op._prep
+        arrs = (prep.values_p, prep.cols_p, prep.rowends_p,
+                prep.tile_rows, prep.tile_nnz, prep.cbase,
+                prep.tile_flags, prep.meta)
+        p32 = op._plan32
+
+        @jax.jit
+        def _step(xc, *a):
+            y = _prepared_call(
+                p32, *a, xc, None, jnp.float32(1.0), jnp.float32(0.0),
+                meta_is_list=prep.meta_is_list, alpha_one=True,
+                interpret=False)
+            if plan.num_rows >= ncols:
+                return xc + y[:ncols] * 1e-20
+            return xc + jnp.pad(y, (0, ncols - plan.num_rows)) * 1e-20
+
+        return lambda xc: _step(xc, *arrs)
+
+    # generic fallback: arrays as arguments through the csrmv dispatcher
+    from merge_spmv_tpu.ops.csrmv import csrmv
+
+    @functools.partial(jax.jit, static_argnames=("has_meta",))
+    def _step2(xc, v, re_, ci, meta, has_meta):
+        y = csrmv(plan, v, re_, ci, xc,
+                  meta=meta if has_meta else None).astype(xc.dtype)
+        if plan.num_rows >= ncols:
+            return xc + y[:ncols] * 1e-20
+        return xc + jnp.pad(y, (0, ncols - plan.num_rows)) * 1e-20
+
+    meta = op.meta
+    has_meta = meta is not None
+    if not has_meta:
+        meta = jnp.zeros((1,), jnp.int32)
+    return lambda xc: _step2(xc, op.values, op.row_end_offsets,
+                             op.col_indices, meta, has_meta=has_meta)
+
+
 def chain_through(y_to_x_scale=1e-12):
     """Helper making a chain step from an (args -> y) function when x and y
     have different shapes: x' = x * (1 + tanh(sum(y)) * scale)."""
