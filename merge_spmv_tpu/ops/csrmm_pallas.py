@@ -97,19 +97,22 @@ def _spmm_kernel(
         if has_ybase:
             d.append(pltpu.make_async_copy(
                 ybase_hbm.at[:, pl.ds(arow0, R)],
-                ybase_s.at[:, pl.ds(s * R, R)], sems.at[3, s]))
+                ybase_s.at[:, pl.ds(pl.multiple_of(s * R, LANES), R)],
+                sems.at[3, s]))
         if x_winl:
             cw = pl.multiple_of(cbase_ref[tile] * LANES, BLOCK)
             d.append(pltpu.make_async_copy(
                 xt_ref.at[:, pl.ds(cw, x_winl)],
-                xtw_s.at[:, pl.ds(s * x_winl, x_winl)],
+                xtw_s.at[:, pl.ds(pl.multiple_of(s * x_winl, LANES),
+                                  x_winl)],
                 xsems.at[s]))
         return d
 
     def write_dma(tile, s):
         row0 = tile_rows_ref[tile]
         arow0 = pl.multiple_of((row0 // BLOCK) * BLOCK, BLOCK)
-        return pltpu.make_async_copy(ywrite_s.at[:, pl.ds(s * R, R)],
+        return pltpu.make_async_copy(
+            ywrite_s.at[:, pl.ds(pl.multiple_of(s * R, LANES), R)],
                                      yt_hbm.at[:, pl.ds(arow0, R)],
                                      sems.at[4, s])
 
@@ -142,14 +145,18 @@ def _spmm_kernel(
         cw_t = cbase_ref[t] * LANES
 
         def xt_slab(slab, w):
-            # (8, 128) slab window at global 128-col window id w
+            # (8, 128) slab window at global 128-col window id w; lane
+            # offsets are 128-multiples by construction — Mosaic needs
+            # the explicit hint to prove it
             rel = jnp.clip(w * LANES - cw_t, 0, x_winl - LANES)
+            off = pl.multiple_of(slot * x_winl + rel, LANES)
             return xtw_s[pl.ds(slab * SUBLANES, SUBLANES),
-                         pl.ds(slot * x_winl + rel, LANES)]
+                         pl.ds(off, LANES)]
     else:
         def xt_slab(slab, w):
+            off = pl.multiple_of(jnp.maximum(w, 0) * LANES, LANES)
             return xt_ref[pl.ds(slab * SUBLANES, SUBLANES),
-                          pl.ds(jnp.maximum(w, 0) * LANES, LANES)]
+                          pl.ds(off, LANES)]
 
     cur[0].wait()   # values
     cols2 = cols_s[pl.ds(slot * TE, TE)].reshape(NREG // SUBLANES,
@@ -243,6 +250,7 @@ def _spmm_kernel(
 
     for slab in range(KS):
         sl = pl.ds(slab * SUBLANES, SUBLANES)
+        pref_tab = pref_s[sl, pl.ds(0, LANES)]     # (8, 128), NREG valid
         parts = []
         pparts = []
         for rb in range(R // LANES):
@@ -254,19 +262,20 @@ def _spmm_kernel(
             c_lo = jnp.min(pos1) >> 7
             c_hi = jnp.max(pos1) >> 7
 
-            def rbody(c, accs, lposb=lposb, regb=regb, sl=sl):
-                acc_g, acc_p = accs
-                win = cs_s[sl, pl.ds(c * LANES, LANES)]
+            def rbody(c, acc_g, lposb=lposb, regb=regb, sl=sl):
+                off = pl.multiple_of(c * LANES, LANES)
+                win = cs_s[sl, pl.ds(off, LANES)]
                 g = jnp.take_along_axis(win, lposb, axis=1)
-                prefc = jnp.broadcast_to(pref_s[sl, pl.ds(c, 1)],
-                                         (SUBLANES, LANES))
-                hit = regb == c
-                return (acc_g + jnp.where(hit, g, 0.0),
-                        acc_p + jnp.where(hit, prefc, 0.0))
+                return acc_g + jnp.where(regb == c, g, 0.0)
 
             zero = jnp.zeros((SUBLANES, LANES), jnp.float32)
-            acc_g, acc_p = jax.lax.fori_loop(c_lo, c_hi + 1, rbody,
-                                             (zero, zero))
+            acc_g = jax.lax.fori_loop(c_lo, c_hi + 1, rbody, zero)
+            # register prefixes: NREG <= 128, so the whole per-slab
+            # prefix table is one (8, 128) register — a single
+            # lane-gather replaces the per-register accumulate
+            acc_p = jnp.take_along_axis(pref_tab,
+                                        jnp.minimum(regb, NREG - 1),
+                                        axis=1)
             validb = jnp.broadcast_to(ends1 > 0, (SUBLANES, LANES))
             parts.append(jnp.where(validb, acc_g, 0.0))
             pparts.append(jnp.where(validb, acc_p, 0.0))
@@ -305,7 +314,8 @@ def _spmm_kernel(
         # --- rolling YT window: merge base + add completed rows --------- #
         if has_ybase:
             cur[3].wait()
-            basew = ybase_s[sl, pl.ds(slot * R, R)]
+            basew = ybase_s[sl, pl.ds(pl.multiple_of(slot * R, LANES),
+                                      R)]
         else:
             basew = jnp.zeros((SUBLANES, R), jnp.float32)
 
@@ -331,7 +341,7 @@ def _spmm_kernel(
     def _():
         write_dma(jnp.maximum(t - 1, 0), 1 - slot).wait()
 
-    ywrite_s[:, pl.ds(slot * R, R)] = ywin_s[...]
+    ywrite_s[:, pl.ds(pl.multiple_of(slot * R, LANES), R)] = ywin_s[...]
     write_dma(t, slot).start()
 
     @pl.when(t == num_tiles - 1)
@@ -355,8 +365,12 @@ def make_mm_plan(num_rows, num_cols, num_nonzeros, k,
 
     k_pad = SUBLANES * -(-int(k) // SUBLANES)
     if tile_items is None:
-        # cs tables are k_pad * (T + 1024) * 4 bytes: budget ~4 MB
-        tile_items = max(2048, min(65536, (1 << 20) // k_pad * 4))
+        # cs tables are k_pad*(T+1024)*4 bytes (budget ~4 MB); NREG must
+        # stay <= 128 so the register-prefix table fits one (8, 128)
+        # register for the row-phase lane-gather
+        tile_items = max(2048, min(15360,
+                                   ((1 << 20) // k_pad - 1024) // 1024
+                                   * 1024))
     kw = {} if vmem_bytes is None else {"vmem_bytes": vmem_bytes}
     plan = make_plan(num_rows, num_cols, num_nonzeros, dtype="float32",
                      tile_items=tile_items, num_rhs=int(k),
@@ -377,6 +391,11 @@ def _csrmm_core(plan: SpmvPlan, k_pad: int, values_p, cols_p, rowends_p,
     T = plan.tile_items
     R = plan.r_win
     TE = T + BLOCK
+    if TE // LANES > LANES:
+        raise ValueError(
+            f"csrmm_wide needs tile_items <= 15360 (NREG <= 128 so the "
+            f"register-prefix table is one register); got {T} "
+            f"(use make_mm_plan)")
     num_tiles = plan.num_tiles
     K = max(1, plan.meta_k) if meta_is_list else 1
     meta_mode = "list" if meta_is_list else "range"
@@ -411,8 +430,8 @@ def _csrmm_core(plan: SpmvPlan, k_pad: int, values_p, cols_p, rowends_p,
             pltpu.VMEM((k_pad, max(2 * x_winl, LANES)),
                        jnp.float32),                       # XT windows
             pltpu.VMEM((k_pad, TE), jnp.float32),          # cumsum tables
-            pltpu.VMEM((k_pad, max(TE // LANES, LANES)),
-                       jnp.float32),                       # register prefixes
+            pltpu.VMEM((k_pad, LANES), jnp.float32),       # register prefixes
+                                                           # (NREG <= 128)
             pltpu.VMEM((k_pad, LANES), jnp.float32),       # carries
             pltpu.SemaphoreType.DMA((5, 2)),
             pltpu.SemaphoreType.DMA((2,)),

@@ -364,11 +364,56 @@ def _spmv_kernel(
     # pass (per-group SMEM chains measurably serialize the pipeline).    #
     cur[2].wait()   # row ends
     rows_end_w = sh_r + rows_done
+    carry_in = carry_s[0]
 
     def pref_visit(c, cb, acc_p):
         hit = cb == c
         prow = jnp.broadcast_to(pref_s[pl.ds(c, 1), :], hit.shape)
         return acc_p + jnp.where(hit, prow, 0.0)
+
+    g_lane = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 1)
+    g_subl = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 0)
+    g_firstcol = g_lane == 0
+    g_firstel = g_firstcol & (g_subl == 0)
+    g_flat = g_subl * LANES + g_lane
+
+    def _group_epilogue(j, gjm, pjm):
+        """Skip-mode per-group rowsum + y update, all vector ops."""
+        if j == 0:
+            pg = jnp.zeros((SUBLANES, LANES), jnp.float32)
+            pp = jnp.zeros((SUBLANES, LANES), jnp.float32)
+        else:
+            # previous group's last element, double-rolled so it sits at
+            # position (0, 0) — selected by where, never broadcast
+            # (Mosaic cannot broadcast a (1,1) at offset (7,127))
+            off_p = (j - 1) * BLOCK          # static: previous group
+            pg = pltpu.roll(pltpu.roll(
+                ge_s[pl.ds(off_p, BLOCK)].reshape(SUBLANES, LANES),
+                1, 1), 1, 0)
+            pp = pltpu.roll(pltpu.roll(
+                pe_s[pl.ds(off_p, BLOCK)].reshape(SUBLANES, LANES),
+                1, 1), 1, 0)
+
+        def shift_g(a, boundary):
+            prev = pltpu.roll(a, 1, 1)
+            prev_row_last = pltpu.roll(a[:, -1:], 1, 0)
+            prev = jnp.where(g_firstcol,
+                             jnp.broadcast_to(prev_row_last, prev.shape),
+                             prev)
+            return jnp.where(g_firstel, boundary, prev)
+
+        rowsum = (gjm - shift_g(gjm, pg)) + (pjm - shift_g(pjm, pp))
+        flat_j = g_flat + j * BLOCK
+        rowsum = rowsum + jnp.where(flat_j == sh_r, carry_in, 0.0)
+        rs_m = jnp.where((flat_j >= sh_r) & (flat_j < rows_end_w),
+                         rowsum, 0.0)
+        if y_vmem:
+            off = arow0 + j * BLOCK
+            seg = ywin_s[pl.ds(off, BLOCK)].reshape(SUBLANES, LANES)
+            ywin_s[pl.ds(off, BLOCK)] = (seg + rs_m).reshape(BLOCK)
+        else:
+            seg = ywin_s[pl.ds(j * BLOCK, BLOCK)].reshape(SUBLANES, LANES)
+            ywin_s[pl.ds(j * BLOCK, BLOCK)] = (seg + rs_m).reshape(BLOCK)
 
     for j in range(RB if "rows" not in debug_skip else 0):
         def _row_group(j=j):
@@ -404,10 +449,17 @@ def _spmv_kernel(
                     jnp.minimum(c_lo + head, c_hi + 1), c_hi + 1, cbody,
                     (gj, pj_acc))
             ends_valid = ends_rel > 0
-            ge_s[pl.ds(j * BLOCK, BLOCK)] = jnp.where(
-                ends_valid, gj, 0.0).reshape(BLOCK)
-            pe_s[pl.ds(j * BLOCK, BLOCK)] = jnp.where(
-                ends_valid, pj_acc, 0.0).reshape(BLOCK)
+            gjm = jnp.where(ends_valid, gj, 0.0)
+            pjm = jnp.where(ends_valid, pj_acc, 0.0)
+            ge_s[pl.ds(j * BLOCK, BLOCK)] = gjm.reshape(BLOCK)
+            pe_s[pl.ds(j * BLOCK, BLOCK)] = pjm.reshape(BLOCK)
+
+            if runtime_skip:
+                # full per-group epilogue, all vector ops: the group
+                # boundary comes from the previous group's scratch via a
+                # static (1, 1) slice + broadcast (per-group SMEM scalar
+                # chains measurably serialize the pipeline)
+                _group_epilogue(j, gjm, pjm)
 
         if not runtime_skip:
             _row_group()
@@ -421,32 +473,54 @@ def _spmv_kernel(
                 pe_s[pl.ds(j * BLOCK, BLOCK)] = jnp.zeros((BLOCK,),
                                                           jnp.float32)
 
-    cs_end = ge_s[:].reshape(R // LANES, LANES)
-    pf_end = pe_s[:].reshape(R // LANES, LANES)
+    if not runtime_skip:
+        # --- whole-window epilogue (uniform shapes: branch-free) --------- #
+        cs_end = ge_s[:].reshape(R // LANES, LANES)
+        pf_end = pe_s[:].reshape(R // LANES, LANES)
 
-    flat_r = _flat_iota((R // LANES, LANES))
-    first_col = jax.lax.broadcasted_iota(jnp.int32, cs_end.shape, 1) == 0
-    is_first = flat_r == 0
+        flat_r = _flat_iota((R // LANES, LANES))
+        first_col = jax.lax.broadcasted_iota(jnp.int32, cs_end.shape,
+                                             1) == 0
+        is_first = flat_r == 0
 
-    def shift_back(a):
-        # previous row's value (flat shift right by one element)
-        prev = pltpu.roll(a, 1, 1)
-        prev_row_last = pltpu.roll(a[:, -1:], 1, 0)
-        prev = jnp.where(first_col,
-                         jnp.broadcast_to(prev_row_last, prev.shape), prev)
-        return jnp.where(is_first, 0.0, prev)
+        def shift_back(a):
+            # previous row's value (flat shift right by one element)
+            prev = pltpu.roll(a, 1, 1)
+            prev_row_last = pltpu.roll(a[:, -1:], 1, 0)
+            prev = jnp.where(first_col,
+                             jnp.broadcast_to(prev_row_last, prev.shape),
+                             prev)
+            return jnp.where(is_first, 0.0, prev)
 
-    # row sum = (local_e - local_s) + (prefix_e - prefix_s): keeping the
-    # two differences separate preserves exact cancellation for rows whose
-    # start and end share a 1024-item block (the common case)
-    rowsum = (cs_end - shift_back(cs_end)) + (pf_end - shift_back(pf_end))
+        # row sum = (local_e - local_s) + (prefix_e - prefix_s): keeping
+        # the two differences separate preserves exact cancellation for
+        # rows whose start and end share a 1024-item block
+        rowsum = ((cs_end - shift_back(cs_end))
+                  + (pf_end - shift_back(pf_end)))
+        rowsum = rowsum + jnp.where(flat_r == sh_r, carry_in, 0.0)
+        row_mask = (flat_r >= sh_r) & (flat_r < rows_end_w)
+        last_sel = flat_r == rows_end_w - 1
+        cs_last = jnp.sum(jnp.where(last_sel, cs_end + pf_end, 0.0))
+        if y_vmem:
+            yw = ywin_s[pl.ds(arow0, R)].reshape(R // LANES, LANES)
+            ywin_s[pl.ds(arow0, R)] = (
+                yw + jnp.where(row_mask, rowsum, 0.0)).reshape(R)
+        else:
+            ywin = ywin_s[:].reshape(R // LANES, LANES)
+            ywin_s[:] = (ywin + jnp.where(row_mask, rowsum, 0.0)
+                         ).reshape(R)
+    else:
+        # --- skip-mode: y updated per group; carry needs only the last
+        # completed row's staged value — one block-aligned dynamic load  #
+        lastpos = rows_end_w - 1
+        blk = jnp.maximum(lastpos, 0) // BLOCK
+        offb = pl.multiple_of(blk * BLOCK, BLOCK)
+        ge_b = ge_s[pl.ds(offb, BLOCK)].reshape(SUBLANES, LANES)
+        pe_b = pe_s[pl.ds(offb, BLOCK)].reshape(SUBLANES, LANES)
+        fl_b = g_flat + blk * BLOCK
+        cs_last = jnp.sum(jnp.where(fl_b == lastpos, ge_b + pe_b, 0.0))
 
-    # --- carry in / carry out (replaces the fixup kernel) ---------------- #
-    carry_in = carry_s[0]
-    rowsum = rowsum + jnp.where(flat_r == sh_r, carry_in, 0.0)
-    row_mask = (flat_r >= sh_r) & (flat_r < rows_end_w)
-    last_sel = flat_r == rows_end_w - 1
-    cs_last = jnp.sum(jnp.where(last_sel, cs_end + pf_end, 0.0))
+    # --- carry out (replaces the fixup kernel) --------------------------- #
     # When the last completed row consumes every tile item, the carry must
     # be exactly 0.0 — the shift-add cumsum associates differently at
     # different positions, so total - cs_last could leak an epsilon into
@@ -459,11 +533,6 @@ def _spmv_kernel(
         carry_in + total)
 
     if y_vmem:
-        # --- whole y resident in VMEM: add, one final write ------------- #
-        yw = ywin_s[pl.ds(arow0, R)].reshape(R // LANES, LANES)
-        ywin_s[pl.ds(arow0, R)] = (
-            yw + jnp.where(row_mask, rowsum, 0.0)).reshape(R)
-
         @pl.when(t == num_tiles - 1)
         def _():
             dma_w = pltpu.make_async_copy(ywin_s, y_hbm.at[pl.ds(0, y_pad)],
@@ -472,17 +541,13 @@ def _spmv_kernel(
             dma_w.wait()
         return
 
-    # --- rolling window: add completed rows, staged async write ---------- #
-    ywin = ywin_s[:].reshape(R // LANES, LANES)
-    ywin = ywin + jnp.where(row_mask, rowsum, 0.0)
-    ywin_s[:] = ywin.reshape(R)
-
+    # --- staged async write of the rolling window ------------------------ #
     # serialize against the previous tile's (overlapping) write first
     @pl.when(t > 0)
     def _():
         write_dma(jnp.maximum(t - 1, 0), 1 - slot).wait()
 
-    ywrite_s[pl.ds(slot * R, R)] = ywin.reshape(R)
+    ywrite_s[pl.ds(slot * R, R)] = ywin_s[:]
     write_dma(t, slot).start()
 
     @pl.when(t == num_tiles - 1)

@@ -77,8 +77,11 @@ def main():
     out["powerlaw"] = bench_one("powerlaw", CooMatrix(
         n, n, rows_p, cols_p, np.ones(rows_p.size)))
 
-    # wheel: the adversarial single-hub case at ~equal nnz
-    out["wheel"] = bench_one("wheel", CooMatrix.wheel(nnz // 2))
+    # wheel: the adversarial single-hub case (sized so x stays
+    # VMEM-resident — a wheel hub touches every column, so the streaming
+    # window cannot apply; 2M spokes = 8 MB x)
+    out["wheel"] = bench_one("wheel", CooMatrix.wheel(min(nnz // 2,
+                                                          2_000_000)))
 
     r = out["powerlaw"]["gflops"] / max(out["uniform"]["gflops"], 1e-9)
     # normalize per-nnz (powerlaw nnz differs slightly from target)
