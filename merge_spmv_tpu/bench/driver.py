@@ -82,6 +82,9 @@ def build_matrix(args) -> CsrMatrix:
 def display_perf(name, setup_ms, avg_ms, csr, value_bytes, quiet=False,
                  peak_gbps=None, num_rhs=1):
     """Perf line (cpu_spmv.cpp:502-528 byte/flop model, RHS-scaled)."""
+    # sub-resolution timings (kernel faster than tunnel jitter) would
+    # print absurd derived rates; clamp to the measurement floor
+    avg_ms = max(avg_ms, 1e-3)
     total_bytes = (csr.num_nonzeros * (value_bytes * (1 + num_rhs) + 4)
                    + csr.num_rows * (4 + value_bytes * num_rhs))
     gflops = 2 * num_rhs * csr.num_nonzeros / avg_ms / 1e6

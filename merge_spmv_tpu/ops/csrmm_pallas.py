@@ -170,33 +170,39 @@ def _spmm_kernel(
     # [128*jb, 128*(jb+1)); pref layout per slab: (8, NREG) exclusive
     for slab in range(KS):
         for g in range(NREG // SUBLANES):      # groups of 8 item-registers
+            # one group == one 1024-item meta block (8 registers share it)
             cols_g = cols2[g]                  # (8, 128): 8 item-blocks
             vals_g = vals2[g]
+            if meta_mode == "list":
+                # hoist the K dynamic window fetches to block level: the
+                # per-register form issued 8x the fetches and was 6x
+                # SLOWER than the csrmv column loop on hardware (each
+                # SMEM-addressed dynamic fetch stalls the pipeline)
+                wins = []
+                for k in range(K):
+                    w = meta_ref[BPT + g * K + k]
+                    wins.append((w, xt_slab(slab, w)))
             tots = []
             for s8 in range(SUBLANES):         # one 128-item register
                 jb = g * SUBLANES + s8
-                blk = jb // (BLOCK // LANES)
                 l_r = jnp.broadcast_to(cols_g[s8:s8 + 1] & (LANES - 1),
                                        (SUBLANES, LANES))
                 sc_r = jnp.broadcast_to(cols_g[s8:s8 + 1] >> 7,
                                         (SUBLANES, LANES))
                 if meta_mode == "list":
                     xg = jnp.zeros((SUBLANES, LANES), jnp.float32)
-                    for k in range(K):
-                        w = meta_ref[BPT + blk * K + k]
-                        g_w = jnp.take_along_axis(xt_slab(slab, w), l_r,
-                                                  axis=1)
+                    for w, win in wins:
+                        g_w = jnp.take_along_axis(win, l_r, axis=1)
                         xg = xg + jnp.where(sc_r == w, g_w, 0.0)
                 else:
-                    def body(k, acc, l_r=l_r, sc_r=sc_r, blk=blk,
-                             slab=slab):
-                        w = meta_ref[BPT + blk * K] + k
+                    def body(k, acc, l_r=l_r, sc_r=sc_r, g=g, slab=slab):
+                        w = meta_ref[BPT + g * K] + k
                         g_w = jnp.take_along_axis(xt_slab(slab, w), l_r,
                                                   axis=1)
                         return acc + jnp.where(sc_r == w, g_w, 0.0)
 
                     xg = jax.lax.fori_loop(
-                        0, meta_ref[blk], body,
+                        0, meta_ref[g], body,
                         jnp.zeros((SUBLANES, LANES), jnp.float32))
                 # mask to this tile's items, product, lane cumsum
                 base = jb * LANES

@@ -234,64 +234,75 @@ def _spmv_kernel(
 
     items_end = sh_n + nloc
 
-    for chunk in range(NCHUNK):
-        r0b = chunk * CHUNK_BLKS
-        nb = min(CHUNK_BLKS, BPT - r0b)
+    def _gather_block(r):
+        """xg for 1024-nonzero block r (one (8, 128) register set)."""
+        cols_r = cols2[r * SUBLANES:(r + 1) * SUBLANES]
+        if "gather" in debug_skip:
+            return cols_r.astype(jnp.float32)
+        l_r = cols_r & (SUBCHUNK - 1)
+        sc_r = cols_r >> 7
 
-        def _products_chunk(chunk=chunk, r0b=r0b, nb=nb):
-            parts = []
-            for r in range(r0b, r0b + nb):
-                cols_r = cols2[r * SUBLANES:(r + 1) * SUBLANES]
-                l_r = cols_r & (SUBCHUNK - 1)
-                sc_r = cols_r >> 7
+        def visit_fine(s, acc):
+            # 128-col window: dynamic sublane fetch + lane gather
+            row = x_rows(s, 1)                            # (1, 128)
+            src = jnp.broadcast_to(row, (SUBLANES, LANES))
+            g = jnp.take_along_axis(src, l_r, axis=1)
+            return acc + jnp.where(sc_r == s, g, 0.0)
 
-                def visit_fine(s, acc, l_r=l_r, sc_r=sc_r):
-                    # 128-col window: dynamic sublane fetch + lane gather
-                    row = x_rows(s, 1)                    # (1, 128)
-                    src = jnp.broadcast_to(row, (SUBLANES, LANES))
-                    g = jnp.take_along_axis(src, l_r, axis=1)
-                    return acc + jnp.where(sc_r == s, g, 0.0)
+        def visit_coarse(c, acc):
+            chunkx = x_rows(c * SUBLANES, SUBLANES)       # (8, 128)
+            return _cs_chunk_visit(chunkx, l_r, sc_r, c, acc)
 
-                def visit_coarse(c, acc, l_r=l_r, sc_r=sc_r):
-                    chunkx = x_rows(c * SUBLANES, SUBLANES)   # (8, 128)
-                    return _cs_chunk_visit(chunkx, l_r, sc_r, c, acc)
+        visit = visit_fine if meta_gran == SUBCHUNK else visit_coarse
+        if meta_mode == "list":
+            # static unroll: -1 sentinel visits are no-ops; dynamic
+            # loops cost ~60 cycles/iteration
+            xg = jnp.zeros((SUBLANES, LANES), jnp.float32)
+            for k in range(K):
+                xg = visit(meta_ref[BPT + r * K + k], xg)
+            return xg
+        return jax.lax.fori_loop(
+            0, meta_ref[r], lambda k, acc: visit(meta_ref[BPT + r * K] + k,
+                                                 acc),
+            jnp.zeros((SUBLANES, LANES), jnp.float32))
 
-                visit = (visit_fine if meta_gran == SUBCHUNK
-                         else visit_coarse)
+    if not runtime_skip:
+        # --- monolithic products (uniform shapes): one concatenated
+        # gather, one block-local cumsum pass, one store — keeps the
+        # whole phase fusable with no branch boundaries ---------------- #
+        xg_all = jnp.concatenate([_gather_block(r) for r in range(BPT)],
+                                 axis=0)
+        flat = _flat_iota((TE // LANES, LANES))
+        item_mask = (flat >= sh_n) & (flat < items_end)
+        p = jnp.where(item_mask, vals2 * xg_all, 0.0)
+        cs = p if "cumsum" in debug_skip else _cumsum_local(p)
+        cs_s[...] = cs.reshape(BPT, SUBLANES, LANES)
+        tot = jnp.sum(p.reshape(BPT, SUBLANES * LANES), axis=1,
+                      keepdims=True)                       # (BPT, 1)
+    else:
+        # --- runtime-skipped form (skewed plans): row-dominated tiles
+        # skip the chunks past their last item instead of running K
+        # sentinel visits on every static block ------------------------ #
+        for chunk in range(NCHUNK):
+            r0b = chunk * CHUNK_BLKS
+            nb = min(CHUNK_BLKS, BPT - r0b)
 
-                if "gather" in debug_skip:
-                    parts.append(cols_r.astype(jnp.float32))
-                    continue
-                if meta_mode == "list":
-                    # static unroll: -1 sentinel visits are no-ops;
-                    # dynamic loops cost ~60 cycles/iteration
-                    xg = jnp.zeros((SUBLANES, LANES), jnp.float32)
-                    for k in range(K):
-                        xg = visit(meta_ref[BPT + r * K + k], xg)
-                else:
-                    def body(k, acc, r=r):
-                        return visit(meta_ref[BPT + r * K] + k, acc)
+            def _products_chunk(r0b=r0b, nb=nb):
+                xg_c = jnp.concatenate(
+                    [_gather_block(r) for r in range(r0b, r0b + nb)],
+                    axis=0)
+                vals_c = vals2[r0b * SUBLANES:(r0b + nb) * SUBLANES]
+                flat_c = _flat_iota((nb * SUBLANES, LANES)) + r0b * BLOCK
+                mask_c = (flat_c >= sh_n) & (flat_c < items_end)
+                p_c = jnp.where(mask_c, vals_c * xg_c, 0.0)
+                cs_c = (p_c if "cumsum" in debug_skip
+                        else _cumsum_local(p_c))
+                cs_s[pl.ds(r0b, nb)] = cs_c.reshape(nb, SUBLANES, LANES)
+                tot_c = jnp.sum(p_c.reshape(nb, SUBLANES * LANES), axis=1,
+                                keepdims=True)             # (nb, 1)
+                tot_s[pl.ds(r0b, nb)] = jnp.broadcast_to(tot_c,
+                                                         (nb, LANES))
 
-                    xg = jax.lax.fori_loop(
-                        0, meta_ref[r], body,
-                        jnp.zeros((SUBLANES, LANES), jnp.float32))
-                parts.append(xg)
-            xg_c = jnp.concatenate(parts, axis=0)
-            vals_c = vals2[r0b * SUBLANES:(r0b + nb) * SUBLANES]
-            flat_c = _flat_iota((nb * SUBLANES, LANES)) + r0b * BLOCK
-            mask_c = (flat_c >= sh_n) & (flat_c < items_end)
-            p_c = jnp.where(mask_c, vals_c * xg_c, 0.0)
-            cs_c = p_c if "cumsum" in debug_skip else _cumsum_local(p_c)
-            cs_s[pl.ds(r0b, nb)] = cs_c.reshape(nb, SUBLANES, LANES)
-            tot_c = jnp.sum(p_c.reshape(nb, SUBLANES * LANES), axis=1,
-                            keepdims=True)                 # (nb, 1)
-            tot_s[pl.ds(r0b, nb)] = jnp.broadcast_to(tot_c, (nb, LANES))
-
-        if not runtime_skip:
-            _products_chunk()
-        else:
-            # runtime-skipped form (skewed plans only: branch boundaries
-            # measurably serialize the uniform-case pipeline)
             pl.when(jnp.int32(r0b * BLOCK) < items_end)(_products_chunk)
 
             @pl.when(jnp.int32(r0b * BLOCK) >= items_end)
@@ -300,9 +311,9 @@ def _spmv_kernel(
                 # tree (cs_s staleness is safe — row-end positions are
                 # clipped into the active range)
                 tot_s[pl.ds(r0b, nb)] = jnp.zeros((nb, LANES), jnp.float32)
+        tot = tot_s[:, 0:1]                                # (BPT, 1)
 
     # --- exclusive block-prefix tree over per-block totals --------------- #
-    tot = tot_s[:, 0:1]                                    # (BPT, 1)
     bi = jax.lax.broadcasted_iota(jnp.int32, (BPT, 1), 0)
     # exclusive block-prefix tree (row sums use prefix *differences*, so
     # rows within one block cancel the prefix exactly; spanning rows see
@@ -376,6 +387,8 @@ def _spmv_kernel(
     g_firstcol = g_lane == 0
     g_firstel = g_firstcol & (g_subl == 0)
     g_flat = g_subl * LANES + g_lane
+    gparts = []
+    pparts = []
 
     def _group_epilogue(j, gjm, pjm):
         """Skip-mode per-group rowsum + y update, all vector ops."""
@@ -451,18 +464,19 @@ def _spmv_kernel(
             ends_valid = ends_rel > 0
             gjm = jnp.where(ends_valid, gj, 0.0)
             pjm = jnp.where(ends_valid, pj_acc, 0.0)
+            if not runtime_skip:
+                return gjm, pjm
+            # skip mode: stage into scratch (the next group's boundary
+            # read and the carry-out block load come from here), then the
+            # full per-group epilogue — all vector ops, no SMEM chains
             ge_s[pl.ds(j * BLOCK, BLOCK)] = gjm.reshape(BLOCK)
             pe_s[pl.ds(j * BLOCK, BLOCK)] = pjm.reshape(BLOCK)
-
-            if runtime_skip:
-                # full per-group epilogue, all vector ops: the group
-                # boundary comes from the previous group's scratch via a
-                # static (1, 1) slice + broadcast (per-group SMEM scalar
-                # chains measurably serialize the pipeline)
-                _group_epilogue(j, gjm, pjm)
+            _group_epilogue(j, gjm, pjm)
 
         if not runtime_skip:
-            _row_group()
+            gparts_pparts = _row_group()
+            gparts.append(gparts_pparts[0])
+            pparts.append(gparts_pparts[1])
         else:
             pl.when(jnp.int32(j * BLOCK) < rows_end_w)(_row_group)
 
@@ -474,9 +488,14 @@ def _spmv_kernel(
                                                           jnp.float32)
 
     if not runtime_skip:
-        # --- whole-window epilogue (uniform shapes: branch-free) --------- #
-        cs_end = ge_s[:].reshape(R // LANES, LANES)
-        pf_end = pe_s[:].reshape(R // LANES, LANES)
+        # --- whole-window epilogue (uniform shapes: branch-free, values
+        # stay in registers — no scratch round trip) --------------------- #
+        if "rows" in debug_skip or not gparts:
+            zero_r = jnp.zeros((SUBLANES, LANES), jnp.float32)
+            gparts = [zero_r] * RB
+            pparts = [zero_r] * RB
+        cs_end = jnp.concatenate(gparts, axis=0)
+        pf_end = jnp.concatenate(pparts, axis=0)
 
         flat_r = _flat_iota((R // LANES, LANES))
         first_col = jax.lax.broadcasted_iota(jnp.int32, cs_end.shape,

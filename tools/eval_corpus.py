@@ -44,13 +44,22 @@ def main(argv=None):
                f"--backends={args.backends}"]
         if args.fp64:
             cmd.append("--fp64")
-        try:
-            r = subprocess.run(cmd, capture_output=True, text=True,
-                               timeout=args.timeout)
-            line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
-            status = line if r.returncode == 0 else f"ERROR rc={r.returncode}"
-        except subprocess.TimeoutExpired:
-            status = "TIMEOUT"
+        status = None
+        for attempt in range(2):
+            # one retry: remote-tunnel runs are ~5-10 % flaky (device
+            # lock handoff / compile service hiccups), independent of
+            # the matrix
+            try:
+                r = subprocess.run(cmd, capture_output=True, text=True,
+                                   timeout=args.timeout)
+                line = (r.stdout.strip().splitlines()[-1]
+                        if r.stdout.strip() else "")
+                status = (line if r.returncode == 0
+                          else f"ERROR rc={r.returncode}")
+                if r.returncode == 0:
+                    break
+            except subprocess.TimeoutExpired:
+                status = "TIMEOUT"
         print(f"{name}, {status}", file=out, flush=True)
     if args.out:
         out.close()
