@@ -223,6 +223,11 @@ def run_benchmark(args) -> dict:
     fp64 = not args.get("fp32", True)
     dtype = np.float64 if fp64 else np.float32
     vb = 8 if fp64 else 4
+    if fp64:
+        # without x64, device uploads silently truncate to fp32 and the
+        # double-single split degenerates (v_lo == 0)
+        import jax
+        jax.config.update("jax_enable_x64", True)
 
     csr = build_matrix(args).astype(dtype)
     stats = csr.stats()

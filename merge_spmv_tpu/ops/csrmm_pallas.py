@@ -68,7 +68,7 @@ def _spmm_kernel(
     vals_s, cols_s, rowends_s, ybase_s, ywin_s, ywrite_s, xtw_s,
     cs_s, pref_s, carry_s, sems, xsems,
     *, tile_items: int, r_win: int, k_pad: int, meta_mode: str,
-    meta_k: int, has_ybase: bool, x_winl: int,
+    meta_k: int, has_ybase: bool, x_winl: int, row_span: int,
 ):
     T, R = tile_items, r_win
     TE = T + BLOCK
@@ -94,11 +94,6 @@ def _spmm_kernel(
              pltpu.make_async_copy(rowends_hbm.at[pl.ds(arow0, R)],
                                    rowends_s.at[pl.ds(s * R, R)],
                                    sems.at[2, s])]
-        if has_ybase:
-            d.append(pltpu.make_async_copy(
-                ybase_hbm.at[:, pl.ds(arow0, R)],
-                ybase_s.at[:, pl.ds(pl.multiple_of(s * R, LANES), R)],
-                sems.at[3, s]))
         if x_winl:
             cw = pl.multiple_of(cbase_ref[tile] * LANES, BLOCK)
             d.append(pltpu.make_async_copy(
@@ -244,15 +239,20 @@ def _spmm_kernel(
 
     @pl.when(t > 0)
     def _():
-        # shift the rolling window BEFORE the per-slab accumulation so a
-        # single dynamic-roll block serves all slabs
+        # Window advance WITHOUT a dynamic lane roll: only the FIRST
+        # 1024-row block of the new window can hold contributions from
+        # earlier tiles (the merge split guarantees exactly one boundary
+        # block), so one 1024-aligned dynamic lane-slice copy replaces
+        # the whole-window rotate.  d_r == R means zero overlap.
         arow_prev = pl.multiple_of(
             (tile_rows_ref[jnp.maximum(t - 1, 0)] // BLOCK) * BLOCK, BLOCK)
-        d_r = arow0 - arow_prev         # multiple of 1024 lanes; R is pow2
-        win = ywin_s[...]
-        held = pltpu.roll(win, -d_r, 1)
-        kl = jax.lax.broadcasted_iota(jnp.int32, (k_pad, R), 1)
-        ywin_s[...] = jnp.where(kl < R - d_r, held, 0.0)
+        d_r = arow0 - arow_prev                # multiple of 1024 lanes
+        cp = pl.multiple_of(jnp.minimum(d_r, R - BLOCK), BLOCK)
+        ov = jnp.where(d_r < R, ywin_s[:, pl.ds(cp, BLOCK)], 0.0)
+        ywin_s[:, pl.ds(0, BLOCK)] = ov
+        if R > BLOCK:
+            ywin_s[:, pl.ds(BLOCK, R - BLOCK)] = jnp.zeros(
+                (k_pad, R - BLOCK), jnp.float32)
 
     for slab in range(KS):
         sl = pl.ds(slab * SUBLANES, SUBLANES)
@@ -267,15 +267,31 @@ def _spmm_kernel(
             regb = posb >> 7
             c_lo = jnp.min(pos1) >> 7
             c_hi = jnp.max(pos1) >> 7
+            cnt = c_hi - c_lo + 1
 
-            def rbody(c, acc_g, lposb=lposb, regb=regb, sl=sl):
+            def rvisit(c, acc_g, valid, lposb=lposb, regb=regb, sl=sl):
                 off = pl.multiple_of(c * LANES, LANES)
                 win = cs_s[sl, pl.ds(off, LANES)]
                 g = jnp.take_along_axis(win, lposb, axis=1)
-                return acc_g + jnp.where(regb == c, g, 0.0)
+                hit = regb == c
+                if valid is not None:
+                    hit = hit & valid
+                return acc_g + jnp.where(hit, g, 0.0)
 
             zero = jnp.zeros((SUBLANES, LANES), jnp.float32)
-            acc_g = jax.lax.fori_loop(c_lo, c_hi + 1, rbody, zero)
+            acc_g = zero
+            # static unroll up to the per-matrix span cap (dynamic
+            # fori costs ~60 cycles/iteration of pure overhead —
+            # ~800 iterations per tile dominated the first hardware run)
+            head = row_span if 0 < row_span <= 16 else 4
+            for k in range(head):
+                c = jnp.minimum(c_lo + k, NREG - 1)
+                valid = jnp.full((SUBLANES, LANES), k < cnt)
+                acc_g = rvisit(c, acc_g, valid)
+            if not (0 < row_span <= 16):
+                acc_g = jax.lax.fori_loop(
+                    jnp.minimum(c_lo + head, c_hi + 1), c_hi + 1,
+                    lambda c, a: rvisit(c, a, None), acc_g)
             # register prefixes: NREG <= 128, so the whole per-slab
             # prefix table is one (8, 128) register — a single
             # lane-gather replaces the per-register accumulate
@@ -317,13 +333,12 @@ def _spmm_kernel(
             jnp.where(end_last >= sh_n + nloc, 0.0, total - cs_last),
             carry_s[sl, 0:1] + total)
 
-        # --- rolling YT window: merge base + add completed rows --------- #
-        if has_ybase:
-            cur[3].wait()
-            basew = ybase_s[sl, pl.ds(pl.multiple_of(slot * R, LANES),
-                                      R)]
-        else:
-            basew = jnp.zeros((SUBLANES, R), jnp.float32)
+        # --- rolling YT window: add completed rows ----------------------- #
+        # beta*Y_in is applied OUTSIDE the kernel (XLA post-add): the
+        # in-kernel ybase window needed a dynamic minor-dim DMA slice,
+        # which crashes the TPU worker (same class as the round-1 flat
+        # 1D DMA crash)
+        basew = jnp.zeros((SUBLANES, R), jnp.float32)
 
         @pl.when(t == 0)
         def _():
@@ -331,13 +346,17 @@ def _spmm_kernel(
 
         @pl.when(t > 0)
         def _():
-            # rows shifted in by the pre-slab roll hold 0; merge the base
+            # window advance kept only the overlap block at position 0
+            # (zeros elsewhere); merge the base everywhere past it.  The
+            # overlap block already contains its base from the previous
+            # tile's merge (same absolute rows, same y_in values).
             arow_prev = pl.multiple_of(
                 (tile_rows_ref[jnp.maximum(t - 1, 0)] // BLOCK) * BLOCK,
                 BLOCK)
             d_r = arow0 - arow_prev
             cur_w = ywin_s[sl, pl.ds(0, R)]
-            ywin_s[sl, pl.ds(0, R)] = jnp.where(rl < R - d_r, cur_w, basew)
+            keep = (rl < BLOCK) & (d_r < R)
+            ywin_s[sl, pl.ds(0, R)] = jnp.where(keep, cur_w, basew)
 
         ywin_s[sl, pl.ds(0, R)] = (ywin_s[sl, pl.ds(0, R)]
                                    + jnp.where(row_mask, rowsum, 0.0))
@@ -387,8 +406,21 @@ def make_mm_plan(num_rows, num_cols, num_nonzeros, k,
         # k_pad-wide streamed XT windows exceed the budget: the wide
         # kernel cannot run; callers fall back to the per-column loop
         plan = dataclasses.replace(plan, backend="xla")
+    # row_span for the wide kernel is in 128-item REGISTERS per 128
+    # consecutive rows (csrmv's is 1024-blocks per 1024 rows — reusing it
+    # under-counts locally dense row runs and drops gather visits)
+    row_span_mm = 0
+    if row_end_offsets is not None:
+        import numpy as np
+        rowe = np.asarray(row_end_offsets, dtype=np.int64)
+        if len(rowe) <= LANES:
+            span = int(rowe[-1]) if len(rowe) else 0
+        else:
+            span = int((rowe[LANES:] - rowe[:-LANES]).max())
+        row_span_mm = min(span // LANES + 2,
+                          (plan.tile_items + 1024) // LANES)
     r2 = 1 << (int(plan.r_win) - 1).bit_length()
-    return dataclasses.replace(plan, r_win=r2)
+    return dataclasses.replace(plan, r_win=r2, row_span=row_span_mm)
 
 
 def _csrmm_core(plan: SpmvPlan, k_pad: int, values_p, cols_p, rowends_p,
@@ -405,7 +437,7 @@ def _csrmm_core(plan: SpmvPlan, k_pad: int, values_p, cols_p, rowends_p,
     num_tiles = plan.num_tiles
     K = max(1, plan.meta_k) if meta_is_list else 1
     meta_mode = "list" if meta_is_list else "range"
-    has_ybase = yt_base is not None
+    has_ybase = False          # beta*Y_in is an XLA post-add (see kernel)
     W = meta_width(T, K)
     x_winl = 0 if x_resident else plan.x_win * LANES
 
@@ -429,8 +461,7 @@ def _csrmm_core(plan: SpmvPlan, k_pad: int, values_p, cols_p, rowends_p,
             pltpu.VMEM((2 * TE,), jnp.float32),            # values windows
             pltpu.VMEM((2 * TE,), jnp.int32),              # cols windows
             pltpu.VMEM((2 * R,), jnp.int32),               # row-end windows
-            pltpu.VMEM((k_pad, (2 * R) if has_ybase else LANES),
-                       jnp.float32),                       # YT base windows
+            pltpu.VMEM((k_pad, LANES), jnp.float32),       # (unused ybase slot)
             pltpu.VMEM((k_pad, R), jnp.float32),           # YT window
             pltpu.VMEM((k_pad, 2 * R), jnp.float32),       # write staging
             pltpu.VMEM((k_pad, max(2 * x_winl, LANES)),
@@ -447,7 +478,7 @@ def _csrmm_core(plan: SpmvPlan, k_pad: int, values_p, cols_p, rowends_p,
     kernel = functools.partial(
         _spmm_kernel, tile_items=T, r_win=R, k_pad=k_pad,
         meta_mode=meta_mode, meta_k=K, has_ybase=has_ybase,
-        x_winl=x_winl)
+        x_winl=x_winl, row_span=plan.row_span)
 
     if yt_base is None:
         yt_base = jnp.zeros((k_pad, LANES), jnp.float32)
@@ -477,17 +508,16 @@ def _csrmm_call(plan, k_pad, values_p, cols_p, rowends_p, tile_rows,
     C, k = X.shape
     xt = jnp.swapaxes(X.astype(jnp.float32), 0, 1) * alpha
     xt = jnp.pad(xt, ((0, k_pad - k), (0, Cp - C)))
-    yt_base = None
-    if has_y:
-        out_len = -(-(plan.num_rows + plan.r_win + BLOCK) // BLOCK) * BLOCK
-        ytb = jnp.swapaxes(Y_in.astype(jnp.float32), 0, 1) * beta
-        yt_base = jnp.pad(ytb, ((0, k_pad - k),
-                                (0, out_len - plan.num_rows)))
     yt = _csrmm_core(plan, k_pad, values_p, cols_p, rowends_p, tile_rows,
-                     tile_nnz, cbase, meta, xt, yt_base,
+                     tile_nnz, cbase, meta, xt, None,
                      meta_is_list=meta_is_list, interpret=interpret,
                      x_resident=x_resident)
-    return jnp.swapaxes(yt, 0, 1)[:, :k]
+    Y = jnp.swapaxes(yt, 0, 1)[:, :k]
+    if has_y:
+        # beta*Y_in applied outside the kernel: the in-kernel base
+        # window needed a dynamic minor-dim DMA (TPU worker crash)
+        Y = Y + beta * Y_in.astype(jnp.float32)
+    return Y
 
 
 def prepare_csrmm(plan: SpmvPlan, values, row_end_offsets, col_indices,

@@ -97,14 +97,17 @@ class SpmvOperator:
                      self.col_indices, x, y_in=y_in, alpha=alpha, beta=beta,
                      interpret=interpret, meta=self.meta)
 
-    def mm(self, X, Y_in=None, alpha=1.0, beta=0.0, interpret: bool = False):
-        """SpMM.  fp32 pallas plans route to the wide multi-RHS kernel
-        (ops/csrmm_pallas.py) with a per-k cached plan/prep; k > 128 is
-        processed in 128-column passes.  Other backends fall back to the
-        csrmm dispatcher."""
+    def mm(self, X, Y_in=None, alpha=1.0, beta=0.0, interpret: bool = False,
+           method: str = "auto"):
+        """SpMM.  ``method``: "auto"/"column" runs the per-column merge
+        kernel loop (the measured-fastest path today); "wide" routes to
+        the multi-RHS kernel (ops/csrmm_pallas.py) with a per-k cached
+        plan/prep — hardware-verified but currently slower than the
+        column loop (NOTES.md round-2 facts); k > 128 is processed in
+        128-column passes.  Other backends use the csrmm dispatcher."""
         import jax.numpy as jnp
         k = X.shape[1]
-        if self.plan.backend == "pallas" and k >= 2:
+        if method == "wide" and self.plan.backend == "pallas" and k >= 2:
             from merge_spmv_tpu.ops.csrmm_pallas import (
                 csrmm_wide_prepared, make_mm_plan, prepare_csrmm)
             kc = min(k, 128)

@@ -91,7 +91,7 @@ def test_operator_mm_routes_wide():
     csr.values = rs.uniform(0.1, 1, csr.num_nonzeros).astype(np.float32)
     X = rs.uniform(0.1, 1, (csr.num_cols, 16)).astype(np.float32)
     op = build_operator(csr, dtype="float32", backend="pallas")
-    Y = op.mm(jnp.asarray(X), interpret=INTERPRET)
+    Y = op.mm(jnp.asarray(X), interpret=INTERPRET, method="wide")
     assert hasattr(op, "_mm_cache") and len(op._mm_cache) == 1
     assert_allclose_ulp(np.asarray(Y), csr.spmm_gold(X),
                         context="operator_mm")
