@@ -389,6 +389,7 @@ def _spmv_kernel(
     g_flat = g_subl * LANES + g_lane
     gparts = []
     pparts = []
+    _row_groups = []
 
     def _group_epilogue(j, gjm, pjm):
         """Skip-mode per-group rowsum + y update, all vector ops."""
@@ -473,19 +474,31 @@ def _spmv_kernel(
             pe_s[pl.ds(j * BLOCK, BLOCK)] = pjm.reshape(BLOCK)
             _group_epilogue(j, gjm, pjm)
 
+        _row_groups.append(_row_group)
         if not runtime_skip:
             gparts_pparts = _row_group()
             gparts.append(gparts_pparts[0])
             pparts.append(gparts_pparts[1])
-        else:
-            pl.when(jnp.int32(j * BLOCK) < rows_end_w)(_row_group)
 
-            @pl.when(jnp.int32(j * BLOCK) >= rows_end_w)
-            def _(j=j):
-                ge_s[pl.ds(j * BLOCK, BLOCK)] = jnp.zeros((BLOCK,),
-                                                          jnp.float32)
-                pe_s[pl.ds(j * BLOCK, BLOCK)] = jnp.zeros((BLOCK,),
-                                                          jnp.float32)
+    if runtime_skip and _row_groups:
+        # branch at quad granularity (4096 rows): branch boundaries have
+        # real cost, and heavily skewed plans can have dozens of groups —
+        # a quad wastes at most 3 groups of work at the active edge while
+        # quartering the branch count
+        for jq in range(0, len(_row_groups), 4):
+            nq = min(4, len(_row_groups) - jq)
+
+            def _quad(jq=jq, nq=nq):
+                for jj in range(jq, jq + nq):
+                    _row_groups[jj]()
+
+            pl.when(jnp.int32(jq * BLOCK) < rows_end_w)(_quad)
+
+            @pl.when(jnp.int32(jq * BLOCK) >= rows_end_w)
+            def _(jq=jq, nq=nq):
+                z = jnp.zeros((nq * BLOCK,), jnp.float32)
+                ge_s[pl.ds(jq * BLOCK, nq * BLOCK)] = z
+                pe_s[pl.ds(jq * BLOCK, nq * BLOCK)] = z
 
     if not runtime_skip:
         # --- whole-window epilogue (uniform shapes: branch-free, values
