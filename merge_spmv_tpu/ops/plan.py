@@ -138,6 +138,11 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
 
     if tile_items is None:
         tile_items = _DEFAULT_TILE_ITEMS.get(dname, 8192)
+        # Round-2 sweep: 131072 beats 65536 by ~8 % on the restructured
+        # kernel when the x+y working set leaves VMEM headroom for the
+        # doubled tile scratch (tools/perf_probe.py sweep).
+        if dname in ("float32", "bfloat16") and y_in_vmem:
+            tile_items = 131072
         # Shrink tiles if the matrix is small: no point in one giant tile.
         total = num_rows + num_nonzeros
         while tile_items > 1024 and tile_items >= 4 * total:
