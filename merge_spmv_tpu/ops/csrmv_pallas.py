@@ -73,41 +73,47 @@ def _flat_iota(shape):
     return r * shape[1] + c
 
 
-def _cumsum_local(x):
-    """Inclusive cumsum in row-major order *within each 8-row (1024-item)
-    block* of a (R, 128) array, via log-shift-add trees.  Keeping the
-    cumsum block-local bounds the cancellation error of the row-sum
-    differences by eps*block_total instead of eps*tile_total; the missing
-    inter-block offsets are carried in a separate prefix table."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    acc = x
+def _cumsum_local(x3):
+    """Inclusive cumsum in row-major order within each (8, 128) block of a
+    (B, 8, 128) array, via log-shift-add trees.  Keeping the cumsum
+    block-local bounds the cancellation error of the row-sum differences
+    by eps*block_total instead of eps*tile_total; the missing inter-block
+    offsets are carried in a separate prefix table.
+
+    The shift masks are hoisted (1, 8, 128) constants multiplied in
+    (FMA-able) instead of per-stage iota-compare-selects — the masks
+    depend only on lane/sublane position, so one register serves every
+    block (a measured ~2 regops/stage/block saving)."""
+    acc = x3
     shift = 1
-    while shift < x.shape[1]:
-        acc = acc + jnp.where(lane >= shift, pltpu.roll(acc, shift, 1), 0.0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, SUBLANES, LANES), 2)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (1, SUBLANES, LANES), 1)
+    while shift < LANES:
+        m = (lane >= shift).astype(x3.dtype)
+        acc = acc + pltpu.roll(acc, shift, 2) * m
         shift *= 2
-    row_tot = jnp.broadcast_to(acc[:, -1:], x.shape)
-    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    row_tot = jnp.broadcast_to(acc[:, :, -1:], x3.shape)
     off = row_tot
     for shift in (1, 2, 4):
-        # masked to (row & 7) >= shift: offsets never cross the block edge
-        off = off + jnp.where((row & 7) >= shift,
-                              pltpu.roll(off, shift, 0), 0.0)
+        # masked to sublane >= shift: offsets never cross the block edge
+        m = (sub >= shift).astype(x3.dtype)
+        off = off + pltpu.roll(off, shift, 1) * m
     return acc + off - row_tot
 
 
-def _cs_chunk_visit(chunk, l, sq, c, acc, valid=None):
+def _cs_chunk_visit(chunk, l, sq, cbase8, acc):
     """Merge one 1024-entry cumsum-table chunk into the gather: lane
     gathers from each of the chunk's 8 sublanes, selected where the target
     position's chunk-sublane id matches.  Each position matches exactly
-    one (chunk, sublane), so overwrite-select replaces accumulate-add
-    (one op fewer per sub-step)."""
+    one (chunk, sublane), so overwrite-select replaces accumulate-add.
+    ``cbase8`` is the chunk's first global sublane id (c * 8) as a traced
+    SCALAR — callers fold validity into it (an impossible value like
+    -100000 turns the whole visit into a no-op) so the per-sub-step
+    compare is one vector op against a scalar, with no mask broadcasts."""
     for q in range(SUBLANES):
         src = jnp.broadcast_to(chunk[q:q + 1, :], l.shape)
         g = jnp.take_along_axis(src, l, axis=1)
-        hit = sq == c * SUBLANES + q
-        if valid is not None:
-            hit = hit & valid
-        acc = jnp.where(hit, g, acc)
+        acc = jnp.where(sq == cbase8 + q, g, acc)
     return acc
 
 
@@ -131,7 +137,8 @@ def _spmv_kernel(
     *, tile_items: int, r_win: int, num_rows: int, meta_mode: str,
     meta_k: int, meta_gran: int, row_span: int,
     has_ybase: bool, y_vmem: bool, y_pad: int, x_win: int,
-    runtime_skip: bool = False, debug_skip: str = "",
+    runtime_skip: bool = False, skip_cb: int = 8, skip_gq: int = 4,
+    debug_skip: str = "",
 ):
     T, R = tile_items, r_win
     TE = T + BLOCK
@@ -187,6 +194,15 @@ def _spmv_kernel(
         carry_s[1] = 0.0
         carry_s[2] = 0.0
         carry_s[3] = 0.0
+        if not x_win:
+            # One-time staging of the whole packed x table into VMEM
+            # scratch.  x must NOT be a pipelined VMEM input: with a
+            # constant index map the pipeline re-fetches the full block
+            # every grid step (~3.9 us/step for 4 MB measured on v5e —
+            # it was the dominant term of the round-2 floor).
+            dma_x = pltpu.make_async_copy(x_ref, xwin_s, xsems.at[0])
+            dma_x.start()
+            dma_x.wait()
         for d in in_dmas(0, 0):
             d.start()
 
@@ -212,7 +228,7 @@ def _spmv_kernel(
     # past their last item instead of running K sentinel visits on every
     # static block — the skew fix (round-1 power-law ran 0.4-0.7x of
     # uniform because of exactly this static-shape work).
-    CHUNK_BLKS = 8
+    CHUNK_BLKS = skip_cb
     NCHUNK = -(-BPT // CHUNK_BLKS)
     cur = in_dmas(t, slot)
     cur[1].wait()   # cols
@@ -232,7 +248,7 @@ def _spmv_kernel(
             return xwin_s[pl.ds(slot * x_win + rel, count), :]
     else:
         def x_rows(sub, count):
-            return x_ref[pl.ds(jnp.maximum(sub, 0), count), :]
+            return xwin_s[pl.ds(jnp.maximum(sub, 0), count), :]
 
     items_end = sh_n + nloc
 
@@ -255,7 +271,7 @@ def _spmv_kernel(
 
         def visit_coarse(c, acc):
             chunkx = x_rows(c * SUBLANES, SUBLANES)       # (8, 128)
-            return _cs_chunk_visit(chunkx, l_r, sc_r, c, acc)
+            return _cs_chunk_visit(chunkx, l_r, sc_r, c * SUBLANES, acc)
 
         visit = visit_fine if meta_gran == SUBCHUNK else visit_coarse
         if meta_mode == "list":
@@ -265,9 +281,36 @@ def _spmv_kernel(
             for k in range(K):
                 xg = visit(meta_ref[BPT + r * K + k], xg)
             return xg
+        # range walk, unrolled by WALK_UNROLL: scattered matrices visit
+        # O(100) chunks per block, and the raw fori paid ~60 cycles of
+        # loop overhead per ~16-cycle visit (the round-2 circuit5M-class
+        # number was mostly this overhead).  Visits past cnt fold their
+        # validity into the compare scalar (impossible id -> no-op) while
+        # reads stay clamped in-range.
+        cnt = meta_ref[r]
+        lo = meta_ref[BPT + r * K]
+        WU = 8
+
+        def wbody(g, acc):
+            k0 = g * WU
+            for u in range(WU):
+                k = k0 + u
+                kvalid = k < cnt
+                c = lo + jnp.minimum(k, jnp.maximum(cnt - 1, 0))
+                if meta_gran == SUBCHUNK:
+                    row = x_rows(c, 1)
+                    src = jnp.broadcast_to(row, (SUBLANES, LANES))
+                    gv = jnp.take_along_axis(src, l_r, axis=1)
+                    c_cmp = jnp.where(kvalid, c, -(2 ** 20))
+                    acc = jnp.where(sc_r == c_cmp, gv, acc)
+                else:
+                    chunkx = x_rows(c * SUBLANES, SUBLANES)
+                    c8 = jnp.where(kvalid, c * SUBLANES, -(2 ** 20))
+                    acc = _cs_chunk_visit(chunkx, l_r, sc_r, c8, acc)
+            return acc
+
         return jax.lax.fori_loop(
-            0, meta_ref[r], lambda k, acc: visit(meta_ref[BPT + r * K] + k,
-                                                 acc),
+            0, (meta_ref[r] + WU - 1) // WU, wbody,
             jnp.zeros((SUBLANES, LANES), jnp.float32))
 
     if not runtime_skip:
@@ -279,8 +322,8 @@ def _spmv_kernel(
         flat = _flat_iota((TE // LANES, LANES))
         item_mask = (flat >= sh_n) & (flat < items_end)
         p = jnp.where(item_mask, vals2 * xg_all, 0.0)
-        cs = p if "cumsum" in debug_skip else _cumsum_local(p)
-        cs_s[...] = cs.reshape(BPT, SUBLANES, LANES)
+        p3 = p.reshape(BPT, SUBLANES, LANES)
+        cs_s[...] = p3 if "cumsum" in debug_skip else _cumsum_local(p3)
         tot = jnp.sum(p.reshape(BPT, SUBLANES * LANES), axis=1,
                       keepdims=True)                       # (BPT, 1)
     else:
@@ -298,10 +341,11 @@ def _spmv_kernel(
                 vals_c = vals2[r0b * SUBLANES:(r0b + nb) * SUBLANES]
                 flat_c = _flat_iota((nb * SUBLANES, LANES)) + r0b * BLOCK
                 mask_c = (flat_c >= sh_n) & (flat_c < items_end)
-                p_c = jnp.where(mask_c, vals_c * xg_c, 0.0)
-                cs_c = (p_c if "cumsum" in debug_skip
-                        else _cumsum_local(p_c))
-                cs_s[pl.ds(r0b, nb)] = cs_c.reshape(nb, SUBLANES, LANES)
+                p_c = jnp.where(mask_c, vals_c * xg_c,
+                                0.0).reshape(nb, SUBLANES, LANES)
+                cs_s[pl.ds(r0b, nb)] = (p_c if "cumsum" in debug_skip
+                                        else _cumsum_local(p_c))
+                p_c = p_c.reshape(nb * SUBLANES, LANES)
                 tot_c = jnp.sum(p_c.reshape(nb, SUBLANES * LANES), axis=1,
                                 keepdims=True)             # (nb, 1)
                 tot_s[pl.ds(r0b, nb)] = jnp.broadcast_to(tot_c,
@@ -381,8 +425,10 @@ def _spmv_kernel(
     rows_end_w = sh_r + rows_done
     carry_in = carry_s[0]
 
-    def pref_visit(c, cb, acc_p):
-        hit = cb == c
+    def pref_visit(c, cb, acc_p, c_cmp=None):
+        # reads row c of the prefix table (always a valid index); compares
+        # against c_cmp (callers fold visit validity into it)
+        hit = cb == (c if c_cmp is None else c_cmp)
         prow = jnp.broadcast_to(pref_s[pl.ds(c, 1), :], hit.shape)
         return acc_p + jnp.where(hit, prow, 0.0)
 
@@ -454,13 +500,17 @@ def _spmv_kernel(
             pj_acc = zero
             for k in range(head):
                 c = jnp.minimum(c_lo + k, BPT - 1)
-                valid = jnp.full((SUBLANES, LANES), k < cnt)
-                gj = _cs_chunk_visit(cs_s[c], l_j, sq_j, c, gj, valid)
-                pj_acc = pref_visit(c, jnp.where(valid, cb_j, -1), pj_acc)
+                # validity folded into scalar compare constants: invalid
+                # visits compare against impossible ids (no mask vectors)
+                kvalid = jnp.int32(k) < cnt
+                c8 = jnp.where(kvalid, c * SUBLANES, -(2 ** 20))
+                c_cmp = jnp.where(kvalid, c, -1)
+                gj = _cs_chunk_visit(cs_s[c], l_j, sq_j, c8, gj)
+                pj_acc = pref_visit(c, cb_j, pj_acc, c_cmp=c_cmp)
             if not (0 < row_span <= ROW_UNROLL_CAP):
                 def cbody(c, acc, l_j=l_j, sq_j=sq_j, cb_j=cb_j):
                     g, ap = acc
-                    g = _cs_chunk_visit(cs_s[c], l_j, sq_j, c, g)
+                    g = _cs_chunk_visit(cs_s[c], l_j, sq_j, c * SUBLANES, g)
                     return g, pref_visit(c, cb_j, ap)
 
                 gj, pj_acc = jax.lax.fori_loop(
@@ -489,8 +539,8 @@ def _spmv_kernel(
         # real cost, and heavily skewed plans can have dozens of groups —
         # a quad wastes at most 3 groups of work at the active edge while
         # quartering the branch count
-        for jq in range(0, len(_row_groups), 4):
-            nq = min(4, len(_row_groups) - jq)
+        for jq in range(0, len(_row_groups), skip_gq):
+            nq = min(skip_gq, len(_row_groups) - jq)
 
             def _quad(jq=jq, nq=nq):
                 for jj in range(jq, jq + nq):
@@ -708,8 +758,10 @@ def _csrmv_pallas_core(plan: SpmvPlan, values_p, cols_p, rowends_p,
     out_len = -(-(plan.num_rows + R + BLOCK) // BLOCK) * BLOCK
     y_vmem = plan.y_in_vmem
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.HBM if plan.x_win
-                     else pltpu.VMEM),           # x table
+        # x stays in HBM; the kernel stages it (whole table at t==0, or
+        # per-tile windows when streaming).  A VMEM-pipelined input with
+        # a constant index map is re-fetched EVERY grid step.
+        pl.BlockSpec(memory_space=pltpu.HBM),    # x table
         pl.BlockSpec(memory_space=pltpu.ANY),    # values
         pl.BlockSpec(memory_space=pltpu.ANY),    # col indices
         pl.BlockSpec(memory_space=pltpu.ANY),    # row end offsets
@@ -732,8 +784,8 @@ def _csrmv_pallas_core(plan: SpmvPlan, values_p, cols_p, rowends_p,
                        jnp.float32),                         # y (window/full)
             pltpu.VMEM((8 if y_vmem else 2 * R,),
                        jnp.float32),                         # write staging
-            pltpu.VMEM((max(2 * plan.x_win, 8), LANES),
-                       jnp.float32),                         # x windows (2 slots)
+            pltpu.VMEM((2 * plan.x_win if plan.x_win else num_sub, LANES),
+                       jnp.float32),             # x windows / resident table
             pltpu.VMEM((BPT, SUBLANES, LANES), jnp.float32),  # cumsum table
             pltpu.VMEM((BPT, LANES), jnp.float32),            # block prefixes
             pltpu.VMEM((BPT, LANES), jnp.float32),            # block totals
@@ -752,6 +804,7 @@ def _csrmv_pallas_core(plan: SpmvPlan, values_p, cols_p, rowends_p,
         row_span=plan.row_span if plan.row_span else BPT,
         has_ybase=has_ybase, y_vmem=y_vmem, y_pad=out_len,
         x_win=plan.x_win, runtime_skip=plan.runtime_skip,
+        skip_cb=plan.skip_cb, skip_gq=plan.skip_gq,
         debug_skip=debug_skip)
 
     if y_base_p is None:

@@ -75,6 +75,8 @@ class SpmvPlan:
     x_win: int = 0             # x-window subchunks when streaming (0 = x resident)
     runtime_skip: bool = False  # branchy kernel: skip inactive chunks/groups
                                 # (skewed shapes only; branches cost on uniform)
+    skip_cb: int = 8           # skip mode: 1024-nnz blocks per products branch
+    skip_gq: int = 4           # skip mode: 1024-row groups per row-phase branch
 
     @property
     def num_merge_items(self) -> int:

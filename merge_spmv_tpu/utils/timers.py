@@ -77,7 +77,8 @@ def time_device_fn(fn, *args, iterations: int = 100, warmup: int = 3):
 
 
 def chained_rate_ms(step_fn, x0, n1: int = 5, n2: int = 20, reps: int = 3,
-                    warmup: int = 2):
+                    warmup: int = 2, jitter_floor_ms: float = 2.0,
+                    max_n2: int = 640, return_info: bool = False):
     """Robust per-iteration milliseconds via the chained-difference method.
 
     `step_fn(x) -> x'` must make iteration k+1 data-depend on iteration k
@@ -85,6 +86,13 @@ def chained_rate_ms(step_fn, x0, n1: int = 5, n2: int = 20, reps: int = 3,
     reduction of the final value (defeats async-transport early returns and
     dead-code elimination through the chain).  The fixed costs (dispatch,
     transfer latency) cancel in the difference t(n2) - t(n1).
+
+    When the difference is below ``jitter_floor_ms`` (kernel faster than
+    transport jitter), the chain lengths are doubled until it clears the
+    floor or ``max_n2`` is reached.  A rate derived from a floored
+    difference is a lie (round-2's corpus artifact printed 262 TFLOP/s for
+    SpMV this way), so an unresolved measurement returns NaN — callers must
+    report it as below-resolution, never as a rate.
 
     This is the TPU-tunnel-safe analog of the reference's timed loop around
     N kernel launches (gpu_spmv.cu:418-429).
@@ -106,9 +114,23 @@ def chained_rate_ms(step_fn, x0, n1: int = 5, n2: int = 20, reps: int = 3,
         return _time.perf_counter() - t0
 
     run_chain(warmup)
-    t1 = min(run_chain(n1) for _ in range(reps))
-    t2 = min(run_chain(n2) for _ in range(reps))
-    return max((t2 - t1) / (n2 - n1), 1e-9) * 1e3
+    while True:
+        t1 = min(run_chain(n1) for _ in range(reps))
+        t2 = min(run_chain(n2) for _ in range(reps))
+        diff_ms = (t2 - t1) * 1e3
+        if diff_ms >= jitter_floor_ms:
+            ms = diff_ms / (n2 - n1)
+            if return_info:
+                return ms, True, n2
+            return ms
+        if n2 >= max_n2:
+            # unresolved: expose the noisy estimate only alongside an
+            # explicit resolved=False; the bare-float contract gets NaN
+            ms = float("nan") if diff_ms <= 0 else diff_ms / (n2 - n1)
+            if return_info:
+                return ms, False, n2
+            return float("nan")
+        n1, n2 = n1 * 2, n2 * 2
 
 
 def operator_step_fn(op):

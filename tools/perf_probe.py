@@ -130,9 +130,14 @@ def main():
         planf = dataclasses.replace(plan1, row_span=1)
         res["floor"] = run_variant("floor", planf, prep1, skip="cumsum")
     if "sweep" in which:
-        for T in (98304, 131072):
-            planT, prepT = build(tile_items=T)
-            res[f"T{T}"] = run_variant(f"T{T}", planT, prepT, verify=True)
+        tiles = [int(t) for t in sys.argv[3].split(",")] if len(sys.argv) > 3 \
+            else [98304, 131072]
+        for T in tiles:
+            try:
+                planT, prepT = build(tile_items=T)
+                res[f"T{T}"] = run_variant(f"T{T}", planT, prepT, verify=True)
+            except Exception as e:  # noqa: BLE001 (VMEM OOM at big tiles)
+                print(f"T{T}: failed ({str(e)[:120]})", flush=True)
 
     if "base" in res:
         b = res["base"]
