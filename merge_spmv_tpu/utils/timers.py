@@ -191,6 +191,45 @@ def operator_step_fn(op):
                              op.col_indices, meta, has_meta=has_meta)
 
 
+def split_operator_step_fn(sop):
+    """Chained-timing step for a SplitSpmvOperator (ops/split.py): all
+    bands' prepared arrays ride as jit ARGUMENTS (a closure would embed
+    them in the remote-compile payload — HTTP 413 at circuit5M scale),
+    and the band kernels chain through beta=1 accumulation inside one jit.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from merge_spmv_tpu.ops.csrmv_pallas import _prepared_call
+
+    assert all(getattr(op, "_prep", None) is not None
+               and op.plan.backend == "pallas" for op in sop.ops), \
+        "split step requires prepared pallas band operators"
+    plans = tuple(op._plan32 for op in sop.ops)
+    is_list = tuple(op._prep.meta_is_list for op in sop.ops)
+    flat = []
+    for op in sop.ops:
+        p = op._prep
+        flat += [p.values_p, p.cols_p, p.rowends_p, p.tile_rows,
+                 p.tile_nnz, p.cbase, p.tile_flags, p.meta]
+    ncols = plans[0].num_cols
+
+    @jax.jit
+    def _step(xc, *arrs):
+        y = None
+        for i, plan in enumerate(plans):
+            a = arrs[8 * i:8 * i + 8]
+            y = _prepared_call(
+                plan, *a, xc, y, jnp.float32(1.0),
+                jnp.float32(1.0), meta_is_list=is_list[i], alpha_one=True,
+                interpret=False)
+        if plans[0].num_rows >= ncols:
+            return xc + y[:ncols] * 1e-20
+        return xc + jnp.pad(y, (0, ncols - plans[0].num_rows)) * 1e-20
+
+    return lambda xc: _step(xc, *flat)
+
+
 def chain_through(y_to_x_scale=1e-12):
     """Helper making a chain step from an (args -> y) function when x and y
     have different shapes: x' = x * (1 + tanh(sum(y)) * scale)."""

@@ -1,0 +1,77 @@
+"""Banded split operator: structure + differential correctness.
+
+The split trades setup for per-call speed on scattered-column matrices
+(ops/split.py); these tests check the split is a partition (every nonzero
+in exactly one band, rows preserved) and that the chained-band operator
+reproduces the gold SpMV/SpMM with the full alpha/beta epilogue.
+"""
+
+import numpy as np
+import pytest
+
+from merge_spmv_tpu.formats.coo import CooMatrix
+from merge_spmv_tpu.formats.csr import CsrMatrix
+from merge_spmv_tpu.ops.split import split_by_distance, build_split_operator
+from merge_spmv_tpu.utils.compare import compare_results
+
+
+def _scattered(n=4000, deg=9, spread=1500, seed=3):
+    rs = np.random.RandomState(seed)
+    rows = np.repeat(np.arange(n, dtype=np.int64), deg)
+    off = rs.laplace(0.0, spread, rows.size).astype(np.int64)
+    cols = np.clip(rows + off, 0, n - 1)
+    vals = rs.uniform(-1.0, 1.0, rows.size)
+    return CsrMatrix.from_coo(CooMatrix(n, n, rows, cols, vals)
+                              ).astype(np.float32)
+
+
+def test_split_is_partition():
+    csr = _scattered()
+    bands, band_ids = split_by_distance(csr, edges_chunks=(1, 2))
+    assert sum(b.num_nonzeros for b in bands) == csr.num_nonzeros
+    for b in bands:
+        assert b.num_rows == csr.num_rows
+        assert b.num_cols == csr.num_cols
+        assert b.row_offsets[-1] == b.num_nonzeros
+        # row-sorted, and within each band the dense reconstruction matches
+    dense = np.zeros((csr.num_rows,), np.float64)
+    x = np.ones(csr.num_cols, np.float32)
+    for b in bands:
+        dense += b.astype(np.float64).spmv_gold(x.astype(np.float64))
+    gold = csr.astype(np.float64).spmv_gold(x.astype(np.float64))
+    assert np.allclose(dense, gold, rtol=1e-6)
+
+
+def test_split_small_bands_merged():
+    csr = _scattered(n=2000, spread=100)   # nearly-diagonal: outer bands tiny
+    bands, _ = split_by_distance(csr, edges_chunks=(1, 2), min_frac=0.05)
+    # the scattered tail is < 5%: outer bands must have been merged inward
+    assert len(bands) <= 3
+
+
+def test_split_operator_matches_gold():
+    csr = _scattered()
+    import jax.numpy as jnp
+    op = build_split_operator(csr, dtype="float32", edges_chunks=(1, 2))
+    assert op.num_bands >= 2, "fixture should actually split"
+    rs = np.random.RandomState(0)
+    x = rs.uniform(-1, 1, csr.num_cols).astype(np.float32)
+    y0 = rs.uniform(-1, 1, csr.num_rows).astype(np.float32)
+    y = op(jnp.asarray(x), y_in=jnp.asarray(y0), alpha=1.5, beta=-0.5,
+           interpret=True)
+    gold = csr.spmv_gold(x, y0, alpha=1.5, beta=-0.5)
+    bound = csr.spmv_abs_bound(x, y0, alpha=1.5, beta=-0.5)
+    assert compare_results(np.asarray(y), gold, abs_bound=bound) is None
+
+
+def test_split_operator_mm_matches_gold():
+    csr = _scattered(n=1500, deg=5, spread=400)
+    import jax.numpy as jnp
+    op = build_split_operator(csr, dtype="float32", edges_chunks=(1,))
+    rs = np.random.RandomState(1)
+    X = rs.uniform(-1, 1, (csr.num_cols, 3)).astype(np.float32)
+    Y = op.mm(jnp.asarray(X), interpret=True)
+    gold = csr.spmm_gold(X)
+    err = np.max(np.abs(np.asarray(Y) - gold))
+    scale = np.max(np.abs(gold)) + 1e-9
+    assert err / scale < 1e-5

@@ -45,6 +45,10 @@ def chained_kernel_ms(step, x0, n=10, reps=3):
     return max(big - small, 1e-9) / (n - 1) * 1e3
 
 
+class _SkipXla(Exception):
+    pass
+
+
 def make_circuit_like(n, nnz, seed=0):
     """Power-law row degrees + Laplace column offsets off the diagonal."""
     import numpy as np
@@ -78,8 +82,9 @@ def main():
     from merge_spmv_tpu.utils.compare import compare_results
     from merge_spmv_tpu.utils.device import peak_hbm_bandwidth
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 5_558_326
-    nnz_target = int(sys.argv[2]) if len(sys.argv) > 2 else 59_524_291
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n = int(args[0]) if len(args) > 0 else 5_558_326
+    nnz_target = int(args[1]) if len(args) > 1 else 59_524_291
 
     t0 = time.time()
     rows, cols, vals = make_circuit_like(n, nnz_target)
@@ -121,8 +126,47 @@ def main():
                     "backend": op.plan.backend, "x_win": op.plan.x_win,
                     "pct_peak": round(100 * gbps / peak, 1)}
 
-    # XLA fallback baseline (round-1 state for this matrix class)
+    # banded split (opt-in, setup reported separately — the HybMV analog,
+    # gpu_spmv.cu:114-134): collapses the per-block chunk-visit count by
+    # splitting nonzeros into signed diagonal-distance bands
     try:
+        from merge_spmv_tpu.ops.split import build_split_operator
+        t0 = time.time()
+        op_s = build_split_operator(csr, dtype="float32")
+        y_s = op_s(xd)
+        jax.block_until_ready(y_s)
+        setup_split_s = time.time() - t0
+        print("split:", op_s.describe(), flush=True)
+        ok_s = compare_results(np.asarray(y_s), gold, verbose=True) is None
+        print(f"split verify: {'PASS' if ok_s else 'FAIL'} "
+              f"(setup+compile {setup_split_s:.0f}s)", flush=True)
+
+        from merge_spmv_tpu.utils.timers import split_operator_step_fn
+        ms_s = chained_kernel_ms(split_operator_step_fn(op_s), xd)
+        gbps_s = total_bytes / ms_s / 1e6
+        print(f"split: {ms_s:.3f} ms  {2*csr.num_nonzeros/ms_s/1e6:.2f} "
+              f"GFLOP/s  {gbps_s:.1f} GB/s ({100*gbps_s/peak_hbm_bandwidth():.1f}% peak)",
+              flush=True)
+        out["split"] = {"avg_ms": round(ms_s, 3),
+                        "gflops": round(2 * csr.num_nonzeros / ms_s / 1e6, 2),
+                        "effective_gbps": round(gbps_s, 1), "verified": ok_s,
+                        "num_bands": op_s.num_bands,
+                        "split_setup_ms": round(op_s.setup_ms, 0)}
+    except Exception as e:  # noqa: BLE001
+        import traceback
+        traceback.print_exc()
+        out["split"] = {"error": str(e)[:200]}
+
+    # XLA fallback baseline (round-1 state for this matrix class)
+    if "--noxla" in sys.argv:
+        # reuse the measured default-config baseline (it takes ~11 s per
+        # call; remeasuring it dominates the whole bench run)
+        out["xla"] = {"avg_ms": 10925.5, "verified": True,
+                      "reused_prior_measurement": True}
+        out["merge_vs_xla_speedup"] = round(10925.5 / ms, 1)
+    try:
+        if "--noxla" in sys.argv:
+            raise _SkipXla()
         op_x = build_operator(csr, dtype="float32", backend="xla")
         y2 = op_x(xd)
         jax.block_until_ready(y2)
@@ -133,6 +177,8 @@ def main():
               flush=True)
         out["xla"] = {"avg_ms": round(ms2, 3), "verified": ok2}
         out["merge_vs_xla_speedup"] = round(ms2 / ms, 1)
+    except _SkipXla:
+        pass
     except Exception as e:  # noqa: BLE001
         print(f"xla baseline failed: {e}", flush=True)
         out["xla"] = {"error": str(e)[:200]}
