@@ -1,12 +1,17 @@
 #!/usr/bin/env python
 """Headline benchmark — emits ONE JSON line for the driver.
 
-Metric: SpMV throughput (GFLOP/s = 2*nnz/time, the paper's headline unit,
+Headline metric: SpMV throughput (GFLOP/s = 2*nnz/time, the paper's unit,
 Table 1 / Fig. 10) of the merge-path Pallas CsrMV on a 100^3 grid Laplacian
 (1M rows, 5.94M nnz, fp32) on one TPU chip.  vs_baseline compares against
 the reference's best single-device result: GPU merge CsrMV on circuit5M at
 17.19 GFLOP/s fp64 (Tesla K40, README.md:138).  The effective bandwidth by
 the reference byte model (cpu_spmv.cpp:508-509) is reported alongside.
+
+The JSON also carries the shapes the headline cannot see (so a round
+cannot look green while they regress): the powerlaw/uniform per-nnz skew
+ratio at 2^19 rows, and a quarter-scale circuit5M-class scattered run
+(the full-scale artifacts live in SKEW.json / BENCH_LARGE.json).
 
 Timing discipline: verify-then-time (the reference's RunTests order), with
 chained dependent calls and a subtracted single-call baseline so per-call
@@ -45,48 +50,107 @@ def chained_kernel_ms(step, x0, n=30, reps=5):
     return max(big - small, 1e-9) / (n - 1) * 1e3
 
 
-def main():
+def _bench_csr(csr, build=None):
+    """Verify vs gold on chip, then chained-time.  Returns (ms, backend)."""
     import numpy as np
     import jax
     import jax.numpy as jnp
 
-    from merge_spmv_tpu.formats.coo import CooMatrix
-    from merge_spmv_tpu.formats.csr import CsrMatrix
     from merge_spmv_tpu.ops.operator import build_operator
     from merge_spmv_tpu.utils.compare import compare_results
 
-    csr = CsrMatrix.from_coo(CooMatrix.grid3d(100)).astype(np.float32)
-    rs = np.random.RandomState(0)
-    csr.values = rs.uniform(0.5, 1.5, csr.num_nonzeros).astype(np.float32)
-    n, nnz = csr.num_rows, csr.num_nonzeros
-
-    op = build_operator(csr, dtype="float32")
+    op = (build or (lambda c: build_operator(c, dtype="float32")))(csr)
     x = jnp.ones((csr.num_cols,), jnp.float32)
-
-    # verify before timing (the reference's discipline, cpu_spmv.cpp:380-387)
     y = op(x)
     gold = csr.spmv_gold(np.ones(csr.num_cols, np.float32))
-    assert compare_results(np.asarray(y), gold, verbose=False) is None, \
-        "verification failed"
+    bound = csr.spmv_abs_bound(np.ones(csr.num_cols, np.float32))
+    assert compare_results(np.asarray(y), gold, verbose=False,
+                           abs_bound=bound) is None, "verification failed"
 
     @jax.jit
     def step(xc):
-        return xc + op(xc) * 1e-20
+        return xc + op(xc)[:csr.num_cols] * 1e-20
 
-    avg_ms = chained_kernel_ms(step, x)
+    return chained_kernel_ms(step, x), op.plan.backend
 
+
+def main():
+    import numpy as np
+
+    from merge_spmv_tpu.formats.coo import CooMatrix
+    from merge_spmv_tpu.formats.csr import CsrMatrix
+
+    rs = np.random.RandomState(0)
+
+    # 1. headline: grid3d100 (uniform banded best case)
+    csr = CsrMatrix.from_coo(CooMatrix.grid3d(100)).astype(np.float32)
+    csr.values = rs.uniform(0.5, 1.5, csr.num_nonzeros).astype(np.float32)
+    n, nnz = csr.num_rows, csr.num_nonzeros
+    avg_ms, backend = _bench_csr(csr)
     gflops = 2 * nnz / avg_ms / 1e6
-    total_bytes = nnz * 12 + n * 8
-    gbps = total_bytes / avg_ms / 1e6
-    print(json.dumps({
+    gbps = (nnz * 12 + n * 8) / avg_ms / 1e6
+    out = {
         "metric": "grid3d100_merge_csrmv_fp32_gflops",
         "value": round(gflops, 3),
         "unit": "GFLOP/s",
         "vs_baseline": round(gflops / 17.19, 4),
         "kernel_ms": round(avg_ms, 4),
         "effective_gbps": round(gbps, 3),
-        "backend": op.plan.backend,
-    }))
+        "backend": backend,
+    }
+    del csr
+
+    # 2. skew pair at 2^19 rows (the item the headline can't see): per-nnz
+    # powerlaw/uniform ratio, target >= 0.9 (paper Fig. 9a flatness)
+    try:
+        nk, deg = 1 << 19, 8
+        rows = np.repeat(np.arange(nk, dtype=np.int64), deg)
+        cols = np.clip(rows + rs.randint(-2048, 2048, rows.size), 0, nk - 1)
+        csr_u = CsrMatrix.from_coo(CooMatrix(nk, nk, rows, cols,
+                                             np.ones(rows.size))
+                                   ).astype(np.float32)
+        ms_u, _ = _bench_csr(csr_u)
+        nnz_u = csr_u.num_nonzeros
+        del csr_u
+        raw = rs.pareto(1.6, nk) + 1.0
+        degs = np.maximum(1, (raw * (nk * deg / raw.sum())).astype(np.int64))
+        rows_p = np.repeat(np.arange(nk, dtype=np.int64), degs)
+        cols_p = np.clip(rows_p + rs.randint(-2048, 2048, rows_p.size),
+                         0, nk - 1)
+        csr_p = CsrMatrix.from_coo(CooMatrix(nk, nk, rows_p, cols_p,
+                                             np.ones(rows_p.size))
+                                   ).astype(np.float32)
+        ms_p, _ = _bench_csr(csr_p)
+        nnz_p = csr_p.num_nonzeros
+        del csr_p
+        out["skew_powerlaw_over_uniform_per_nnz"] = round(
+            (ms_u / nnz_u) / (ms_p / nnz_p), 3)
+        out["skew_uniform_ms"] = round(ms_u, 4)
+        out["skew_powerlaw_ms"] = round(ms_p, 4)
+    except Exception as e:  # noqa: BLE001
+        out["skew_error"] = str(e)[:160]
+
+    # 3. circuit5M-class at quarter scale (scattered columns, x > VMEM):
+    # the default no-preprocessing path (tools/bench_large.py is the
+    # full-scale artifact; this guards regressions every round)
+    try:
+        import os
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools"))
+        import bench_large as bl
+        nq, nnzq = 1_389_581, 14_881_072
+        r_, c_, v_ = bl.make_circuit_like(nq, nnzq)
+        csr_c = CsrMatrix.from_coo(CooMatrix(nq, nq, r_, c_, v_)
+                                   ).astype(np.float32)
+        ms_c, backend_c = _bench_csr(csr_c)
+        out["circuit_class_quarter_ms"] = round(ms_c, 3)
+        out["circuit_class_quarter_backend"] = backend_c
+        out["circuit_class_quarter_nnz"] = csr_c.num_nonzeros
+        del csr_c
+    except Exception as e:  # noqa: BLE001
+        out["circuit_error"] = str(e)[:160]
+
+    print(json.dumps(out))
     return 0
 
 

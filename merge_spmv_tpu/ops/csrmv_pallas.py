@@ -129,17 +129,21 @@ def _spmv_kernel(
                       # when streamed through per-tile windows)
     vals_hbm, cols_hbm, rowends_hbm, ybase_hbm,
     meta_ref,         # SMEM (W,): this tile's packed gather metadata
-    # output
-    y_hbm,
-    # scratch (input windows are double-buffered: slot = t & 1)
-    vals_s, cols_s, rowends_s, ybase_s, ywin_s, ywrite_s, xwin_s,
-    cs_s, pref_s, tot_s, ge_s, pe_s, carry_s, sems, xsems,
-    *, tile_items: int, r_win: int, num_rows: int, meta_mode: str,
-    meta_k: int, meta_gran: int, row_span: int,
+    *rest,            # [rowmeta_ref] when row_meta_k, then output/scratch
+    tile_items: int, r_win: int, num_rows: int, meta_mode: str,
+    meta_k: int, meta_gran: int, row_span: int, row_meta_k: int,
     has_ybase: bool, y_vmem: bool, y_pad: int, x_win: int,
     runtime_skip: bool = False, skip_cb: int = 8, skip_gq: int = 4,
     debug_skip: str = "",
 ):
+    if row_meta_k:
+        rowmeta_ref, rest = rest[0], rest[1:]
+    else:
+        rowmeta_ref = None
+    (y_hbm,
+     # scratch (input windows are double-buffered: slot = t & 1)
+     vals_s, cols_s, rowends_s, ybase_s, ywin_s, ywrite_s, xwin_s,
+     cs_s, pref_s, tot_s, ge_s, pe_s, carry_s, sems, xsems) = rest
     T, R = tile_items, r_win
     TE = T + BLOCK
     BPT = TE // BLOCK
@@ -488,34 +492,49 @@ def _spmv_kernel(
             l_j = pj & (LANES - 1)
             sq_j = pj >> 7
             cb_j = pj >> 10
-            c_lo = jnp.min(pj) >> 10
-            c_hi = jnp.max(pj) >> 10
-            cnt = c_hi - c_lo + 1
             zero = jnp.zeros((SUBLANES, LANES), jnp.float32)
-            if 0 < row_span <= ROW_UNROLL_CAP:
-                head = row_span        # covers every register: no tail
-            else:
-                head = min(4, BPT)     # skewed spans: cheap static floor
             gj = zero
             pj_acc = zero
-            for k in range(head):
-                c = jnp.minimum(c_lo + k, BPT - 1)
-                # validity folded into scalar compare constants: invalid
-                # visits compare against impossible ids (no mask vectors)
-                kvalid = jnp.int32(k) < cnt
-                c8 = jnp.where(kvalid, c * SUBLANES, -(2 ** 20))
-                c_cmp = jnp.where(kvalid, c, -1)
-                gj = _cs_chunk_visit(cs_s[c], l_j, sq_j, c8, gj)
-                pj_acc = pref_visit(c, cb_j, pj_acc, c_cmp=c_cmp)
-            if not (0 < row_span <= ROW_UNROLL_CAP):
-                def cbody(c, acc, l_j=l_j, sq_j=sq_j, cb_j=cb_j):
-                    g, ap = acc
-                    g = _cs_chunk_visit(cs_s[c], l_j, sq_j, c * SUBLANES, g)
-                    return g, pref_visit(c, cb_j, ap)
+            if row_meta_k:
+                # distinct-chunk lists (gather_plan.row_meta_np): exactly
+                # the chunks this group's ends touch, -1 sentinel-padded.
+                # Under skew a hub row makes the position RANGE span
+                # hundreds of chunks while the distinct count stays ~10 —
+                # the range walk below was the entire round-2 skew gap.
+                for k in range(row_meta_k):
+                    c_k = rowmeta_ref[j * row_meta_k + k]
+                    c = jnp.clip(c_k, 0, BPT - 1)
+                    c8 = jnp.where(c_k >= 0, c * SUBLANES, -(2 ** 20))
+                    c_cmp = jnp.where(c_k >= 0, c_k, -1)
+                    gj = _cs_chunk_visit(cs_s[c], l_j, sq_j, c8, gj)
+                    pj_acc = pref_visit(c, cb_j, pj_acc, c_cmp=c_cmp)
+            else:
+                c_lo = jnp.min(pj) >> 10
+                c_hi = jnp.max(pj) >> 10
+                cnt = c_hi - c_lo + 1
+                if 0 < row_span <= ROW_UNROLL_CAP:
+                    head = row_span    # covers every register: no tail
+                else:
+                    head = min(4, BPT)  # skewed spans: cheap static floor
+                for k in range(head):
+                    c = jnp.minimum(c_lo + k, BPT - 1)
+                    # validity folded into scalar compare constants:
+                    # invalid visits compare against impossible ids
+                    kvalid = jnp.int32(k) < cnt
+                    c8 = jnp.where(kvalid, c * SUBLANES, -(2 ** 20))
+                    c_cmp = jnp.where(kvalid, c, -1)
+                    gj = _cs_chunk_visit(cs_s[c], l_j, sq_j, c8, gj)
+                    pj_acc = pref_visit(c, cb_j, pj_acc, c_cmp=c_cmp)
+                if not (0 < row_span <= ROW_UNROLL_CAP):
+                    def cbody(c, acc, l_j=l_j, sq_j=sq_j, cb_j=cb_j):
+                        g, ap = acc
+                        g = _cs_chunk_visit(cs_s[c], l_j, sq_j,
+                                            c * SUBLANES, g)
+                        return g, pref_visit(c, cb_j, ap)
 
-                gj, pj_acc = jax.lax.fori_loop(
-                    jnp.minimum(c_lo + head, c_hi + 1), c_hi + 1, cbody,
-                    (gj, pj_acc))
+                    gj, pj_acc = jax.lax.fori_loop(
+                        jnp.minimum(c_lo + head, c_hi + 1), c_hi + 1,
+                        cbody, (gj, pj_acc))
             ends_valid = ends_rel > 0
             gjm = jnp.where(ends_valid, gj, 0.0)
             pjm = jnp.where(ends_valid, pj_acc, 0.0)
@@ -731,7 +750,7 @@ def _csrmv_pallas_padded(plan: SpmvPlan, values_p, cols_p, rowends_p,
 
 def _csrmv_pallas_core(plan: SpmvPlan, values_p, cols_p, rowends_p,
                        tile_rows, tile_nnz, cbase, tile_flags, meta,
-                       x_scaled, y_base_p,
+                       x_scaled, y_base_p, rowmeta=None,
                        *, meta_is_list: bool, interpret, debug_skip=""):
     """The pallas_call invocation; all per-matrix prep already done."""
     T = plan.tile_items
@@ -769,6 +788,11 @@ def _csrmv_pallas_core(plan: SpmvPlan, values_p, cols_p, rowends_p,
         pl.BlockSpec((W,), lambda t, *_: (t,),
                      memory_space=pltpu.SMEM),   # per-tile gather meta
     ]
+    row_meta_k = plan.row_meta_k if rowmeta is not None else 0
+    if row_meta_k:
+        wr = rowmeta.shape[0] // num_tiles
+        in_specs.append(pl.BlockSpec((wr,), lambda t, *_: (t,),
+                                     memory_space=pltpu.SMEM))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(num_tiles,),
@@ -802,6 +826,7 @@ def _csrmv_pallas_core(plan: SpmvPlan, values_p, cols_p, rowends_p,
         meta_mode=meta_mode, meta_k=K,
         meta_gran=meta_gran,
         row_span=plan.row_span if plan.row_span else BPT,
+        row_meta_k=row_meta_k,
         has_ybase=has_ybase, y_vmem=y_vmem, y_pad=out_len,
         x_win=plan.x_win, runtime_skip=plan.runtime_skip,
         skip_cb=plan.skip_cb, skip_gq=plan.skip_gq,
@@ -810,6 +835,9 @@ def _csrmv_pallas_core(plan: SpmvPlan, values_p, cols_p, rowends_p,
     if y_base_p is None:
         y_base_p = jnp.zeros((8,), jnp.float32)   # placeholder, never read
 
+    inputs = [x_packed, values_p, cols_p, rowends_p, y_base_p, meta]
+    if row_meta_k:
+        inputs.append(rowmeta)
     y = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -818,8 +846,7 @@ def _csrmv_pallas_core(plan: SpmvPlan, values_p, cols_p, rowends_p,
             dimension_semantics=("arbitrary",),   # sequential: carry chain
         ),
         interpret=bool(interpret),
-    )(tile_rows, tile_nnz, cbase, tile_flags, x_packed, values_p, cols_p,
-      rowends_p, y_base_p, meta)
+    )(tile_rows, tile_nnz, cbase, tile_flags, *inputs)
     return y[:plan.num_rows]
 
 
@@ -873,6 +900,7 @@ class PreparedCsrmv(typing.NamedTuple):
     meta: object
     meta_is_list: bool
     tile_flags: object = None
+    rowmeta: object = None     # row-phase distinct-chunk lists (SMEM meta)
 
 
 def pad_csr_arrays(plan: SpmvPlan, values, row_end_offsets, col_indices):
@@ -893,12 +921,25 @@ def pad_csr_arrays(plan: SpmvPlan, values, row_end_offsets, col_indices):
 
 
 def prepare_csrmv(plan: SpmvPlan, values, row_end_offsets, col_indices,
-                  meta=None) -> PreparedCsrmv:
-    """One-time per-matrix preparation for csrmv_pallas_prepared."""
+                  meta=None, rowmeta=None) -> PreparedCsrmv:
+    """One-time per-matrix preparation for csrmv_pallas_prepared.
+
+    ``rowmeta`` is the packed row-phase distinct-chunk array from
+    gather_plan.row_meta_np; when the plan advertises row_meta_k > 0 and
+    none is provided, it is built here from the host row-end offsets."""
     cbase = None
     if isinstance(meta, tuple):
         meta, cbase = meta
     provided = meta is not None
+    if plan.row_meta_k and rowmeta is None:
+        import numpy as np
+
+        from merge_spmv_tpu.ops.gather_plan import row_meta_np
+        packed, k = row_meta_np(np.asarray(row_end_offsets)[:plan.num_rows],
+                                plan.num_nonzeros, plan.tile_items,
+                                plan.r_win)
+        if k == plan.row_meta_k:
+            rowmeta = jnp.asarray(packed)
     with jax.enable_x64(False):
         values_p, cols_p, rowends_p = pad_csr_arrays(
             plan, values, row_end_offsets, col_indices)
@@ -908,14 +949,15 @@ def prepare_csrmv(plan: SpmvPlan, values, row_end_offsets, col_indices,
     return PreparedCsrmv(values_p, cols_p, rowends_p, tile_rows, tile_nnz,
                          cbase, meta,
                          meta_is_list=bool(plan.meta_k) and provided,
-                         tile_flags=tile_flags)
+                         tile_flags=tile_flags, rowmeta=rowmeta)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("plan", "meta_is_list", "alpha_one",
                                     "interpret", "debug_skip"))
 def _prepared_call(plan, values_p, cols_p, rowends_p, tile_rows, tile_nnz,
-                   cbase, tile_flags, meta, x, y_in, alpha, beta, *,
+                   cbase, tile_flags, meta, x, y_in, alpha, beta,
+                   rowmeta=None, *,
                    meta_is_list, alpha_one, interpret, debug_skip=""):
     f32 = jnp.float32
     out_len = -(-(plan.num_rows + plan.r_win + BLOCK) // BLOCK) * BLOCK
@@ -927,7 +969,8 @@ def _prepared_call(plan, values_p, cols_p, rowends_p, tile_rows, tile_nnz,
     x_scaled = x.astype(f32) if alpha_one else alpha * x.astype(f32)
     return _csrmv_pallas_core(
         plan, values_p, cols_p, rowends_p, tile_rows, tile_nnz, cbase,
-        tile_flags, meta, x_scaled, y_base_p, meta_is_list=meta_is_list,
+        tile_flags, meta, x_scaled, y_base_p, rowmeta,
+        meta_is_list=meta_is_list,
         interpret=interpret, debug_skip=debug_skip)
 
 
@@ -942,7 +985,7 @@ def csrmv_pallas_prepared(plan: SpmvPlan, prep: PreparedCsrmv, x,
         return _prepared_call(
             plan, prep.values_p, prep.cols_p, prep.rowends_p,
             prep.tile_rows, prep.tile_nnz, prep.cbase, prep.tile_flags,
-            prep.meta, x, y_in, alpha, beta,
+            prep.meta, x, y_in, alpha, beta, prep.rowmeta,
             meta_is_list=prep.meta_is_list,
             alpha_one=alpha_one, interpret=bool(interpret),
             debug_skip=debug_skip)

@@ -204,6 +204,78 @@ def tile_col_meta_np(col_indices, num_nonzeros: int, row_end_offsets,
     return cbase, max(8, x_win_sub)
 
 
+def row_meta_np(row_end_offsets, num_nonzeros: int, tile_items: int,
+                r_win: int, k_cap: int = 16):
+    """Distinct cumsum-chunk lists per (tile, 1024-row group) for the
+    kernel's row phase — the row-side analog of ``gather_meta_np``.
+
+    The row phase gathers the cumsum table at each row's end position.
+    Visiting the position RANGE [c_lo, c_hi] is catastrophic under skew: a
+    hub row makes its group's range span hundreds of chunks while the
+    group's 1024 ends touch only ~10 DISTINCT chunks (measured: the whole
+    0.68-vs-1.0 round-2 skew gap was this range walk).  These lists let
+    the kernel statically unroll exactly the distinct visits,
+    sentinel-padded with -1.
+
+    Returns (packed int32 (num_tiles * Wr,), k) with
+    Wr = ceil(groups * k / 1024) * 1024, or (None, 0) if any group's
+    distinct count exceeds ``k_cap`` (kernel falls back to the range
+    walk).  Only rows that can contribute to a tile's output (plus one
+    predecessor for the first-difference) constrain the lists; padded
+    rows' positions are excluded (their gathers are masked out anyway).
+    """
+    from merge_spmv_tpu.ops.merge_path import merge_tile_coordinates_np
+
+    tile_rows, tile_nnz = merge_tile_coordinates_np(
+        row_end_offsets, num_nonzeros, tile_items)
+    num_tiles = len(tile_rows) - 1
+    T = tile_items
+    TE = T + BLOCK
+    nrows = len(row_end_offsets)
+    groups = r_win // BLOCK
+    rowe_p = np.concatenate([
+        np.asarray(row_end_offsets, dtype=np.int64),
+        np.full(r_win + BLOCK, num_nonzeros, np.int64)])
+    lists = np.full((num_tiles, groups, k_cap), -1, np.int32)
+    maxk = 0
+    for t in range(num_tiles):
+        nnz0, nnz1 = int(tile_nnz[t]), int(tile_nnz[t + 1])
+        row0, row1 = int(tile_rows[t]), int(tile_rows[t + 1])
+        arow0 = (row0 // BLOCK) * BLOCK
+        sh_n = nnz0 - (nnz0 // BLOCK) * BLOCK
+        sh_r = row0 - arow0
+        nloc = nnz1 - nnz0
+        w = rowe_p[arow0:arow0 + r_win]
+        ends_rel = np.clip(w - nnz0, 0, nloc) + sh_n
+        pj = np.clip(ends_rel - 1, 0, TE - 1)
+        cb = (pj >> 10).astype(np.int32)
+        # only rows [sh_r - 1, rows_end) matter (first-difference needs
+        # one predecessor); others' chunks need not be visited
+        rows_end = sh_r + (row1 - row0)
+        ridx = np.arange(r_win)
+        cb[(ridx < max(sh_r - 1, 0)) | (ridx >= rows_end)] = -1
+        cb2 = cb.reshape(groups, BLOCK).copy()
+        cb2.sort(axis=1)
+        first = np.ones_like(cb2, dtype=bool)
+        first[:, 1:] = cb2[:, 1:] != cb2[:, :-1]
+        first &= cb2 >= 0
+        cnt = first.sum(axis=1)
+        k_t = int(cnt.max()) if len(cnt) else 0
+        if k_t > k_cap:
+            return None, 0
+        maxk = max(maxk, k_t)
+        rows_i, colpos = np.nonzero(first)
+        dest = (np.cumsum(first.ravel()).reshape(first.shape) - 1
+                - np.concatenate([[0], np.cumsum(cnt)[:-1]])[:, None])
+        lists[t][rows_i, dest[first]] = cb2[first]
+    k = max(1, maxk)
+    lists = lists[:, :, :k]
+    wr = -(-(groups * k) // 1024) * 1024
+    packed = np.full((num_tiles, wr), -1, np.int32)
+    packed[:, :groups * k] = lists.reshape(num_tiles, groups * k)
+    return packed.ravel(), k
+
+
 def row_window_np(row_end_offsets, num_nonzeros: int, tile_items: int) -> int:
     """Static row-window size R: max over tiles of (row1 - align1024(row0)),
     rounded up to 1024.  Bounds the per-tile y/row-offsets DMA windows so

@@ -77,6 +77,8 @@ class SpmvPlan:
                                 # (skewed shapes only; branches cost on uniform)
     skip_cb: int = 8           # skip mode: 1024-nnz blocks per products branch
     skip_gq: int = 4           # skip mode: 1024-row groups per row-phase branch
+    row_meta_k: int = 0        # distinct-chunk row-phase lists width
+                               # (0 = range walk; see gather_plan.row_meta_np)
 
     @property
     def num_merge_items(self) -> int:
@@ -185,10 +187,16 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
     r_win = max(1024, -(-int(r_win) // 1024) * 1024)
 
     if row_end_offsets is not None:
-        from merge_spmv_tpu.ops.gather_plan import row_span_np
+        from merge_spmv_tpu.ops.gather_plan import row_meta_np, row_span_np
         row_span = row_span_np(row_end_offsets, num_nonzeros, tile_items)
+        # row-phase distinct-chunk lists (the skew fix): probe the width
+        # only — the packed array itself is built by the operator/prepare
+        # path (operator._build_packed_meta) from the same inputs
+        _, row_meta_k = row_meta_np(row_end_offsets, num_nonzeros,
+                                    tile_items, r_win)
     else:
         row_span = 0
+        row_meta_k = 0
 
     meta_gran = 128
     x_win = 0
@@ -258,4 +266,5 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
         y_in_vmem=bool(y_in_vmem),
         x_win=int(x_win),
         runtime_skip=bool(runtime_skip),
+        row_meta_k=int(row_meta_k),
     )

@@ -158,18 +158,22 @@ def operator_step_fn(op):
         arrs = (prep.values_p, prep.cols_p, prep.rowends_p,
                 prep.tile_rows, prep.tile_nnz, prep.cbase,
                 prep.tile_flags, prep.meta)
+        rowmeta = prep.rowmeta
         p32 = op._plan32
 
         @jax.jit
         def _step(xc, *a):
             y = _prepared_call(
-                p32, *a, xc, None, jnp.float32(1.0), jnp.float32(0.0),
+                p32, *a[:8], xc, None, jnp.float32(1.0), jnp.float32(0.0),
+                a[8] if len(a) > 8 else None,
                 meta_is_list=prep.meta_is_list, alpha_one=True,
                 interpret=False)
             if plan.num_rows >= ncols:
                 return xc + y[:ncols] * 1e-20
             return xc + jnp.pad(y, (0, ncols - plan.num_rows)) * 1e-20
 
+        if rowmeta is not None:
+            arrs = arrs + (rowmeta,)
         return lambda xc: _step(xc, *arrs)
 
     # generic fallback: arrays as arguments through the csrmv dispatcher
@@ -211,17 +215,18 @@ def split_operator_step_fn(sop):
     for op in sop.ops:
         p = op._prep
         flat += [p.values_p, p.cols_p, p.rowends_p, p.tile_rows,
-                 p.tile_nnz, p.cbase, p.tile_flags, p.meta]
+                 p.tile_nnz, p.cbase, p.tile_flags, p.meta, p.rowmeta]
     ncols = plans[0].num_cols
 
     @jax.jit
     def _step(xc, *arrs):
         y = None
         for i, plan in enumerate(plans):
-            a = arrs[8 * i:8 * i + 8]
+            a = arrs[9 * i:9 * i + 9]
             y = _prepared_call(
-                plan, *a, xc, y, jnp.float32(1.0),
-                jnp.float32(1.0), meta_is_list=is_list[i], alpha_one=True,
+                plan, *a[:8], xc, y, jnp.float32(1.0),
+                jnp.float32(1.0), a[8],
+                meta_is_list=is_list[i], alpha_one=True,
                 interpret=False)
         if plans[0].num_rows >= ncols:
             return xc + y[:ncols] * 1e-20

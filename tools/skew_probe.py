@@ -72,15 +72,35 @@ def main():
                                 ).astype(np.float32)
         return csr
 
-    def run(label, csr, gold, **plan_over):
+    def run(label, csr, gold, k_trunc=0, **plan_over):
         plan = make_plan(csr.num_rows, csr.num_cols, csr.num_nonzeros,
                          dtype="float32",
                          row_end_offsets=csr.row_offsets[1:],
                          col_indices=csr.col_indices)
         if plan_over:
             plan = dataclasses.replace(plan, **plan_over)
-        meta = _build_packed_meta(plan, csr.row_offsets[1:],
-                                  csr.col_indices)
+        if k_trunc and plan.meta_k > k_trunc:
+            # timing-only attribution: truncated gather lists produce
+            # WRONG results; measures the cost of the list tail
+            from merge_spmv_tpu.ops.gather_plan import (gather_meta_np,
+                                                        pack_tile_meta_np)
+            from merge_spmv_tpu.ops.merge_path import \
+                merge_tile_coordinates_np
+            cnt, lst = gather_meta_np(
+                csr.col_indices, csr.num_nonzeros,
+                pad_blocks=(plan.tile_items + 1024) // 1024 + 1,
+                shift=10 if plan.meta_gran == 1024 else 7)
+            cnt = np.minimum(cnt, k_trunc)
+            lst = lst[:, :k_trunc].copy()
+            plan = dataclasses.replace(plan, meta_k=k_trunc)
+            _, tile_nnz = merge_tile_coordinates_np(
+                csr.row_offsets[1:], csr.num_nonzeros, plan.tile_items)
+            import jax.numpy as _jnp
+            meta = _jnp.asarray(pack_tile_meta_np(cnt, lst, tile_nnz,
+                                                  plan.tile_items))
+        else:
+            meta = _build_packed_meta(plan, csr.row_offsets[1:],
+                                      csr.col_indices)
         v, re_, ci = csr.to_device(dtype=np.float32)
         prep = prepare_csrmv(plan, v, re_, ci, meta=meta)
         y = csrmv_pallas_prepared(plan, prep, jnp.ones((csr.num_cols,),
@@ -97,8 +117,8 @@ def main():
                                jnp.ones((csr.num_cols,), jnp.float32))
         per_nnz = ms * 1e6 / csr.num_nonzeros
         print(f"{label:>9}: {ms:8.4f} ms  {per_nnz:6.3f} ns/nnz  "
-              f"skip={plan.runtime_skip} cb={plan.skip_cb} "
-              f"gq={plan.skip_gq} r_win={plan.r_win} "
+              f"skip={plan.runtime_skip} K={plan.meta_k}@{plan.meta_gran} "
+              f"span={plan.row_span} r_win={plan.r_win} "
               f"tiles={plan.num_tiles} verified={ok}", flush=True)
         return ms / csr.num_nonzeros
 
@@ -114,15 +134,18 @@ def main():
     gold_p = csr_p.spmv_gold(np.ones(n, np.float32))
     print(f"powerlaw built ({time.time()-t0:.0f}s)", flush=True)
     which = sys.argv[3].split(",") if len(sys.argv) > 3 else [
-        "skip", "coarse", "coarser", "noskip"]
+        "base", "ktrunc", "span1"]
     res = {}
+    if "base" in which:
+        res["base"] = run("base", csr_p, gold_p)
+    if "ktrunc" in which:
+        # timing-only: how much do the gather-list tail visits cost?
+        res["ktrunc"] = run("ktrunc", csr_p, gold_p, k_trunc=6)
+    if "span1" in which:
+        # timing-only: how much does the row-phase span cost?
+        res["span1"] = run("span1", csr_p, gold_p, row_span=1)
     if "skip" in which:
-        res["skip"] = run("skip", csr_p, gold_p)
-    if "coarse" in which:
-        res["coarse"] = run("coarse", csr_p, gold_p, skip_cb=16, skip_gq=8)
-    if "coarser" in which:
-        res["coarser"] = run("coarser", csr_p, gold_p, skip_cb=32,
-                             skip_gq=16)
+        res["skip"] = run("skip", csr_p, gold_p, runtime_skip=True)
     if "noskip" in which:
         res["noskip"] = run("noskip", csr_p, gold_p, runtime_skip=False)
     for k, v in res.items():
