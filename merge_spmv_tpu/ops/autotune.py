@@ -21,7 +21,8 @@ import math
 import os
 import threading
 
-__all__ = ["autotune_tile_items", "shape_class", "DEFAULT_CANDIDATES"]
+__all__ = ["autotune_plan", "autotune_tile_items", "shape_class",
+           "DEFAULT_CANDIDATES"]
 
 DEFAULT_CANDIDATES = (32768, 65536, 131072)
 
@@ -63,7 +64,7 @@ def _store(key: str, entry: dict):
             pass
 
 
-def _time_operator(csr, dtype, tile_items, n=12, reps=3):
+def _time_operator(csr, dtype, tile_items, runtime_skip=None, n=12, reps=3):
     """Chained-dependent timing (tunnel-safe; see utils/timers)."""
     import time
 
@@ -73,7 +74,8 @@ def _time_operator(csr, dtype, tile_items, n=12, reps=3):
 
     from merge_spmv_tpu.ops.operator import build_operator
 
-    op = build_operator(csr, dtype=dtype, tile_items=tile_items)
+    op = build_operator(csr, dtype=dtype, tile_items=tile_items,
+                        runtime_skip=runtime_skip)
     x0 = jnp.ones((csr.num_cols,), jnp.float32)
     ncols = csr.num_cols
 
@@ -106,10 +108,19 @@ def _time_operator(csr, dtype, tile_items, n=12, reps=3):
     return best * 1e3
 
 
-def autotune_tile_items(csr, dtype="float32",
-                        candidates=DEFAULT_CANDIDATES,
-                        verbose: bool = False) -> int:
-    """Best tile_items for this matrix's shape class (cached)."""
+def autotune_plan(csr, dtype="float32", candidates=DEFAULT_CANDIDATES,
+                  verbose: bool = False) -> dict:
+    """Best knob TUPLE for this matrix's shape class (cached).
+
+    Sweeps tile_items x runtime_skip (the two knobs with measured >=2x
+    swings — branch boundaries cost ~2x on uniform shapes while skipping
+    wins on skewed ones, NOTES.md).  The heuristic's own choice is timed
+    first and alternatives must beat it; the cache entry carries the full
+    tuple, the analog of one reference policy line
+    (dispatch_spmv_orig.cuh:262-445).
+
+    Returns {"tile_items": int, "runtime_skip": bool | None}.
+    """
     from merge_spmv_tpu.ops.plan import make_plan
 
     probe = make_plan(csr.num_rows, csr.num_cols, csr.num_nonzeros,
@@ -119,24 +130,43 @@ def autotune_tile_items(csr, dtype="float32",
                       probe.meta_k, probe.dtype)
     cached = _load_cache().get(key)
     if cached:
-        return int(cached["tile_items"])
+        return {"tile_items": int(cached["tile_items"]),
+                "runtime_skip": cached.get("runtime_skip")}
+    default = {"tile_items": probe.tile_items, "runtime_skip": None}
     if probe.backend not in ("pallas", "pallas_ds"):
-        return probe.tile_items
+        return default
 
     results = {}
     for cand in candidates:
-        try:
-            results[cand] = _time_operator(csr, dtype, cand)
-            if verbose:
-                print(f"  autotune {key}: T={cand}: "
-                      f"{results[cand]:.4f} ms", flush=True)
-        except Exception as e:  # noqa: BLE001 — a candidate may not fit VMEM
-            if verbose:
-                print(f"  autotune {key}: T={cand} failed: {e}",
-                      flush=True)
+        for rskip in (None, not probe.runtime_skip):
+            # None = the heuristic's choice; the flip is only swept at
+            # the heuristic's own tile size (keeps the sweep at N+1
+            # compiles instead of 2N)
+            if rskip is not None and cand != probe.tile_items:
+                continue
+            try:
+                ms = _time_operator(csr, dtype, cand, runtime_skip=rskip)
+                results[(cand, rskip)] = ms
+                if verbose:
+                    print(f"  autotune {key}: T={cand} skip={rskip}: "
+                          f"{ms:.4f} ms", flush=True)
+            except Exception as e:  # noqa: BLE001 — may not fit VMEM
+                if verbose:
+                    print(f"  autotune {key}: T={cand} skip={rskip} "
+                          f"failed: {e}", flush=True)
     if not results:
-        return probe.tile_items
+        return default
     best = min(results, key=results.get)
-    _store(key, {"tile_items": int(best),
-                 "ms": {str(c): round(v, 4) for c, v in results.items()}})
-    return int(best)
+    entry = {"tile_items": int(best[0]), "runtime_skip": best[1],
+             "ms": {f"T{c}_skip{r}": round(v, 4)
+                    for (c, r), v in results.items()}}
+    _store(key, entry)
+    return {"tile_items": int(best[0]), "runtime_skip": best[1]}
+
+
+def autotune_tile_items(csr, dtype="float32",
+                        candidates=DEFAULT_CANDIDATES,
+                        verbose: bool = False) -> int:
+    """Back-compat wrapper: tile_items from the tuple tuner."""
+    return autotune_plan(csr, dtype=dtype, candidates=candidates,
+                         verbose=verbose)["tile_items"]

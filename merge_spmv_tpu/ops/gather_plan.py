@@ -205,7 +205,7 @@ def tile_col_meta_np(col_indices, num_nonzeros: int, row_end_offsets,
 
 
 def row_meta_np(row_end_offsets, num_nonzeros: int, tile_items: int,
-                r_win: int, k_cap: int = 16):
+                r_win: int, k_cap: int = 16, k_force: int = 0):
     """Distinct cumsum-chunk lists per (tile, 1024-row group) for the
     kernel's row phase — the row-side analog of ``gather_meta_np``.
 
@@ -269,6 +269,14 @@ def row_meta_np(row_end_offsets, num_nonzeros: int, tile_items: int,
                 - np.concatenate([[0], np.cumsum(cnt)[:-1]])[:, None])
         lists[t][rows_i, dest[first]] = cb2[first]
     k = max(1, maxk)
+    if k_force:
+        # caller needs a unified width across several constructions
+        # (e.g. per-shard lists under one SPMD plan)
+        if k_force > k_cap:
+            raise ValueError("k_force exceeds k_cap")
+        if maxk > k_force:
+            return None, 0
+        k = k_force
     lists = lists[:, :, :k]
     wr = -(-(groups * k) // 1024) * 1024
     packed = np.full((num_tiles, wr), -1, np.int32)

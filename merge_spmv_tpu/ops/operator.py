@@ -184,21 +184,27 @@ def _build_packed_meta(plan: SpmvPlan, row_end_offsets_np, col_indices_np):
 
 def build_operator(csr, dtype="float32", backend: str = "auto",
                    tile_items: Optional[int] = None,
-                   autotune: bool = False) -> SpmvOperator:
+                   autotune: bool = False,
+                   runtime_skip: Optional[bool] = None) -> SpmvOperator:
     """Build the operator from a host CsrMatrix (formats/csr.py).
 
     Computes the gather plan on the host (one pass over col_indices) and
-    uploads everything once.  ``autotune=True`` sweeps tile sizes once
-    per matrix shape class and caches the winner (ops/autotune.py) — the
-    runtime analog of the reference's per-SM policy ladder.
+    uploads everything once.  ``autotune=True`` sweeps the knob tuple
+    (tile size x runtime_skip) once per matrix shape class and caches the
+    winner (ops/autotune.py) — the runtime analog of the reference's
+    per-SM policy ladder.
     """
     if autotune and tile_items is None:
-        from merge_spmv_tpu.ops.autotune import autotune_tile_items
-        tile_items = autotune_tile_items(csr, dtype=dtype)
+        from merge_spmv_tpu.ops.autotune import autotune_plan
+        knobs = autotune_plan(csr, dtype=dtype)
+        tile_items = knobs["tile_items"]
+        if runtime_skip is None:
+            runtime_skip = knobs["runtime_skip"]
     plan = make_plan(csr.num_rows, csr.num_cols, csr.num_nonzeros,
                      dtype=dtype, tile_items=tile_items, backend=backend,
                      row_end_offsets=csr.row_offsets[1:],
-                     col_indices=csr.col_indices)
+                     col_indices=csr.col_indices,
+                     runtime_skip=runtime_skip)
     values, rowends, cols = csr.to_device(dtype=plan.dtype)
     meta = None
     if plan.backend in ("pallas", "pallas_ds"):

@@ -111,7 +111,8 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
               r_win: Optional[int] = None,
               meta_k: Optional[int] = None,
               row_end_offsets=None, col_indices=None,
-              allow_x_streaming: bool = True) -> SpmvPlan:
+              allow_x_streaming: bool = True,
+              runtime_skip: Optional[bool] = None) -> SpmvPlan:
     """Build an execution plan (phase 1 of the two-phase contract).
 
     backend="auto" picks the Pallas merge kernel when the platform supports
@@ -246,8 +247,11 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
     num_tiles = num_merge_tiles(num_rows, num_nonzeros, tile_items)
     mean_rows = num_rows / max(num_tiles, 1)
     mean_items = num_nonzeros / max(num_tiles, 1)
-    runtime_skip = (mean_rows < 0.5 * r_win
-                    or mean_items < 0.5 * tile_items)
+    rs_auto = (mean_rows < 0.5 * r_win
+               or mean_items < 0.5 * tile_items)
+    # explicit override (autotune sweeps this knob; the 0.5 thresholds
+    # above decided a measured 2x swing in round 2)
+    runtime_skip = rs_auto if runtime_skip is None else bool(runtime_skip)
 
     return SpmvPlan(
         num_rows=int(num_rows),

@@ -143,3 +143,37 @@ def test_distributed_pallas_local_backend():
     yw = distributed_csrmv(mesh, part, x, local_backend="pallas")
     y = materialize_y(yw, part)
     assert_allclose_ulp(y, csr.spmv_gold(x), context="distributed_pallas")
+
+
+def test_prepared_distributed_csrmv():
+    """Prepared SPMD path: per-shard gather/row lists under one plan."""
+    import jax
+    from jax.sharding import Mesh
+
+    from merge_spmv_tpu.formats.coo import CooMatrix
+    from merge_spmv_tpu.formats.csr import CsrMatrix
+    from merge_spmv_tpu.parallel.partition import partition_csr
+    from merge_spmv_tpu.parallel.distributed import (
+        PreparedDistributedCsrmv, materialize_y)
+    from merge_spmv_tpu.utils.compare import assert_allclose_ulp
+
+    devs = jax.devices()[:4]
+    mesh = Mesh(np.array(devs), ("shards",))
+    rs = np.random.RandomState(2)
+    for name, coo in (
+            ("banded", CooMatrix.grid2d(40)),
+            ("powerlaw", CooMatrix.random_powerlaw(300, 250, 2500, seed=5)),
+            ("wheel", CooMatrix.wheel(900))):
+        csr = CsrMatrix.from_coo(coo).astype(np.float32)
+        csr.values = rs.uniform(0.1, 1.0, csr.num_nonzeros
+                                ).astype(np.float32)
+        x = rs.uniform(0.1, 1.0, csr.num_cols).astype(np.float32)
+        part = partition_csr(csr, 4, dtype=np.float32)
+        op = PreparedDistributedCsrmv(mesh, part)
+        y = materialize_y(op(x), part)
+        assert_allclose_ulp(y, csr.spmv_gold(x),
+                            context=f"prepared_dist_{name}")
+        # repeat call hits the same compiled fn (prepare-once contract)
+        y2 = materialize_y(op(x), part)
+        assert_allclose_ulp(y2, csr.spmv_gold(x),
+                            context=f"prepared_dist_{name}_repeat")

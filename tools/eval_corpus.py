@@ -34,12 +34,24 @@ def main(argv=None):
         print(f"no .mtx files under {args.mtx_dir}", file=sys.stderr)
         return 1
 
-    out = open(args.out, "w") if args.out else sys.stdout
-    print(HEADER, file=out, flush=True)
+    done = set()
+    if args.out and os.path.exists(args.out):
+        # resume: keep completed rows (remote compiles can be minutes per
+        # shape class; a crash mid-sweep must not discard finished work)
+        for line in open(args.out):
+            name = line.split(",")[0].strip()
+            if name and name != "dataset" and "TIMEOUT" not in line \
+                    and "ERROR" not in line:
+                done.add(name)
+    out = open(args.out, "a" if done else "w") if args.out else sys.stdout
+    if not done:
+        print(HEADER, file=out, flush=True)
     cli = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "spmv_cli.py")
     for path in files:
         name = os.path.splitext(os.path.basename(path))[0]
+        if name in done:
+            continue
         cmd = [sys.executable, cli, f"--mtx={path}", "--quiet",
                f"--backends={args.backends}"]
         if args.fp64:
