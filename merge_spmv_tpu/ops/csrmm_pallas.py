@@ -5,8 +5,9 @@ csrmv loop pays the full CSR traffic and gather work once per RHS column;
 this kernel amortizes both by laying the RHS dimension across **sublanes**
 and the item/row dimension across **lanes**:
 
-* X enters transposed as ``XT [k_pad, C]`` (k_pad = 8*ceil(k/8), k ≤ 128);
-  one 8-RHS *slab* is an (8, 128)-register row.
+* X enters as a 3D window table ``XT3 [NW, k_pad, 128]`` (NW 128-column
+  windows, k_pad = 8*ceil(k/8), k ≤ 128); one 8-RHS *slab* is an
+  (8, 128)-register row of a window.
 * For a 128-item register, ONE ``take_along_axis`` lane-gather against a
   slab's 128-column x window produces the gathered x for all 8 RHS at
   once — each csrmv-style gather visit now serves 8 outputs.  The
@@ -23,15 +24,25 @@ and the item/row dimension across **lanes**:
   accumulated window per slab with serialized async write DMAs, exactly
   like csrmv's rolling y.
 
+Every dynamically-indexed table is laid out with the dynamic axis MAJOR
+(first) — ``XT3[w]``, ``cs3[c]``, staged write slots — never as a dynamic
+lane-dimension slice.  The first hardware version indexed x windows and
+the cumsum table with dynamic *lane* offsets (``xt[:, w*128:...]``);
+Mosaic lowers each such slice through an expensive roll/select chain, and
+the ~1.5K of them per tile were ~5x the kernel's entire useful vector
+work (the round-2 "wide kernel loses to its own fallback" defect).  With
+the major-dim layout a window/chunk fetch is the same cheap form as
+csrmv's ``cs_s[c]``, and one fetch serves all RHS slabs.
+
 Why not an MXU one-hot formulation: gathering via ``onehot @ x_window``
 must generate the (items, window) one-hot per visit — ~128 vector ops per
 1024 gathered elements, more than this kernel's entire gather+products
 budget.  The VPU lane-gather with sublane-RHS amortization is strictly
 cheaper for k ≤ 128.
 
-X windows for C beyond VMEM reuse the per-tile column-window streaming
-metadata (cbase); the window DMA is a 2D slice ``[:, cw : cw + x_winl]``
-with 128-aligned lane offsets.
+X beyond VMEM reuses the per-tile column-window streaming metadata
+(cbase, in 128-column window units): the per-tile DMA is a MAJOR-dim
+range slice ``XT3[cb : cb + x_win]`` into a double-buffered scratch.
 """
 
 from __future__ import annotations
@@ -59,7 +70,7 @@ def _spmm_kernel(
     # scalar prefetch
     tile_rows_ref, tile_nnz_ref, cbase_ref,
     # inputs
-    xt_ref,           # (k_pad, Cp) XT table (VMEM resident or HBM windowed)
+    xt_ref,           # (NW, k_pad, 128) XT3 window table in HBM
     vals_hbm, cols_hbm, rowends_hbm, ybase_hbm,
     meta_ref,         # SMEM (W,): packed gather metadata
     # output
@@ -68,7 +79,7 @@ def _spmm_kernel(
     vals_s, cols_s, rowends_s, ybase_s, ywin_s, ywrite_s, xtw_s,
     cs_s, pref_s, carry_s, sems, xsems,
     *, tile_items: int, r_win: int, k_pad: int, meta_mode: str,
-    meta_k: int, has_ybase: bool, x_winl: int, row_span: int,
+    meta_k: int, has_ybase: bool, x_win: int, row_span: int,
 ):
     T, R = tile_items, r_win
     TE = T + BLOCK
@@ -94,26 +105,32 @@ def _spmm_kernel(
              pltpu.make_async_copy(rowends_hbm.at[pl.ds(arow0, R)],
                                    rowends_s.at[pl.ds(s * R, R)],
                                    sems.at[2, s])]
-        if x_winl:
-            cw = pl.multiple_of(cbase_ref[tile] * LANES, BLOCK)
+        if x_win:
+            # MAJOR-dim window-range slice of the 3D table (the dynamic
+            # axis is never the lane axis; see module doc)
+            cb = cbase_ref[tile]
             d.append(pltpu.make_async_copy(
-                xt_ref.at[:, pl.ds(cw, x_winl)],
-                xtw_s.at[:, pl.ds(pl.multiple_of(s * x_winl, LANES),
-                                  x_winl)],
+                xt_ref.at[pl.ds(cb, x_win)],
+                xtw_s.at[pl.ds(s * x_win, x_win)],
                 xsems.at[s]))
         return d
 
     def write_dma(tile, s):
         row0 = tile_rows_ref[tile]
         arow0 = pl.multiple_of((row0 // BLOCK) * BLOCK, BLOCK)
-        return pltpu.make_async_copy(
-            ywrite_s.at[:, pl.ds(pl.multiple_of(s * R, LANES), R)],
+        return pltpu.make_async_copy(ywrite_s.at[s],
                                      yt_hbm.at[:, pl.ds(arow0, R)],
                                      sems.at[4, s])
 
     @pl.when(t == 0)
     def _():
         carry_s[...] = jnp.zeros_like(carry_s)
+        if not x_win:
+            # stage the whole XT3 table once (a VMEM-pipelined input
+            # with a constant index map is re-fetched EVERY grid step)
+            dma_x = pltpu.make_async_copy(xt_ref, xtw_s, xsems.at[0])
+            dma_x.start()
+            dma_x.wait()
         for d in in_dmas(0, 0):
             d.start()
 
@@ -135,23 +152,18 @@ def _spmm_kernel(
 
     cur = in_dmas(t, slot)
     cur[1].wait()   # cols
-    if x_winl:
+    if x_win:
         cur[-1].wait()
-        cw_t = cbase_ref[t] * LANES
+        cb_t = cbase_ref[t]
 
-        def xt_slab(slab, w):
-            # (8, 128) slab window at global 128-col window id w; lane
-            # offsets are 128-multiples by construction — Mosaic needs
-            # the explicit hint to prove it
-            rel = jnp.clip(w * LANES - cw_t, 0, x_winl - LANES)
-            off = pl.multiple_of(slot * x_winl + rel, LANES)
-            return xtw_s[pl.ds(slab * SUBLANES, SUBLANES),
-                         pl.ds(off, LANES)]
+        def xt_win(w):
+            # (k_pad, 128) window for global 128-col window id w — one
+            # dynamic-MAJOR fetch serves every RHS slab
+            rel = jnp.clip(w - cb_t, 0, x_win - 1)
+            return xtw_s[slot * x_win + rel]
     else:
-        def xt_slab(slab, w):
-            off = pl.multiple_of(jnp.maximum(w, 0) * LANES, LANES)
-            return xt_ref[pl.ds(slab * SUBLANES, SUBLANES),
-                          pl.ds(off, LANES)]
+        def xt_win(w):
+            return xtw_s[jnp.clip(w, 0, xtw_s.shape[0] - 1)]
 
     cur[0].wait()   # values
     cols2 = cols_s[pl.ds(slot * TE, TE)].reshape(NREG // SUBLANES,
@@ -160,64 +172,69 @@ def _spmm_kernel(
                                                  SUBLANES, LANES)
     lane = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 1)
 
-    # --- per-slab products + per-register lane cumsum ------------------- #
-    # cs layout per slab: (8, TE), item-register jb at lanes
-    # [128*jb, 128*(jb+1)); pref layout per slab: (8, NREG) exclusive
-    for slab in range(KS):
-        for g in range(NREG // SUBLANES):      # groups of 8 item-registers
-            # one group == one 1024-item meta block (8 registers share it)
-            cols_g = cols2[g]                  # (8, 128): 8 item-blocks
-            vals_g = vals2[g]
+    # --- products + per-register lane cumsum, all slabs per fetch ------- #
+    # cs3 layout: (NREG, k_pad, 128) — item-register MAJOR so the row
+    # phase's dynamic chunk visits are major-dim fetches; pref layout per
+    # slab: (8, NREG) exclusive
+    for g in range(NREG // SUBLANES):          # groups of 8 item-registers
+        # one group == one 1024-item meta block (8 registers share it)
+        cols_g = cols2[g]                      # (8, 128): 8 item-blocks
+        vals_g = vals2[g]
+        if meta_mode == "list":
+            # K window fetches per BLOCK serve all 8 registers x KS slabs
+            wins = []
+            for k in range(K):
+                w = meta_ref[BPT + g * K + k]
+                wins.append((w, xt_win(w)))
+        tots = [[] for _ in range(KS)]
+        for s8 in range(SUBLANES):             # one 128-item register
+            jb = g * SUBLANES + s8
+            l_r = jnp.broadcast_to(cols_g[s8:s8 + 1] & (LANES - 1),
+                                   (SUBLANES, LANES))
+            sc_r = jnp.broadcast_to(cols_g[s8:s8 + 1] >> 7,
+                                    (SUBLANES, LANES))
+            base = jb * LANES
+            valid = (lane + base >= sh_n) & (lane + base < sh_n + nloc)
             if meta_mode == "list":
-                # hoist the K dynamic window fetches to block level: the
-                # per-register form issued 8x the fetches and was 6x
-                # SLOWER than the csrmv column loop on hardware (each
-                # SMEM-addressed dynamic fetch stalls the pipeline)
-                wins = []
-                for k in range(K):
-                    w = meta_ref[BPT + g * K + k]
-                    wins.append((w, xt_slab(slab, w)))
-            tots = []
-            for s8 in range(SUBLANES):         # one 128-item register
-                jb = g * SUBLANES + s8
-                l_r = jnp.broadcast_to(cols_g[s8:s8 + 1] & (LANES - 1),
-                                       (SUBLANES, LANES))
-                sc_r = jnp.broadcast_to(cols_g[s8:s8 + 1] >> 7,
-                                        (SUBLANES, LANES))
-                if meta_mode == "list":
-                    xg = jnp.zeros((SUBLANES, LANES), jnp.float32)
-                    for w, win in wins:
-                        g_w = jnp.take_along_axis(win, l_r, axis=1)
-                        xg = xg + jnp.where(sc_r == w, g_w, 0.0)
-                else:
-                    def body(k, acc, l_r=l_r, sc_r=sc_r, g=g, slab=slab):
-                        w = meta_ref[BPT + g * K] + k
-                        g_w = jnp.take_along_axis(xt_slab(slab, w), l_r,
-                                                  axis=1)
-                        return acc + jnp.where(sc_r == w, g_w, 0.0)
+                xgs = [jnp.zeros((SUBLANES, LANES), jnp.float32)
+                       for _ in range(KS)]
+                for w, win in wins:
+                    hit = sc_r == w
+                    for slab in range(KS):
+                        g_w = jnp.take_along_axis(
+                            win[slab * SUBLANES:(slab + 1) * SUBLANES],
+                            l_r, axis=1)
+                        xgs[slab] = jnp.where(hit, g_w, xgs[slab])
+            else:
+                def body(k, accs, l_r=l_r, sc_r=sc_r, g=g):
+                    w = meta_ref[BPT + g * K] + k
+                    win = xt_win(w)
+                    hit = sc_r == w
+                    return tuple(
+                        jnp.where(hit, jnp.take_along_axis(
+                            win[slab * SUBLANES:(slab + 1) * SUBLANES],
+                            l_r, axis=1), accs[slab])
+                        for slab in range(KS))
 
-                    xg = jax.lax.fori_loop(
-                        0, meta_ref[g], body,
-                        jnp.zeros((SUBLANES, LANES), jnp.float32))
-                # mask to this tile's items, product, lane cumsum
-                base = jb * LANES
-                valid = (lane + base >= sh_n) & (lane + base < sh_n + nloc)
-                p = jnp.where(
-                    valid,
-                    xg * jnp.broadcast_to(vals_g[s8:s8 + 1],
-                                          (SUBLANES, LANES)), 0.0)
+                xgs = list(jax.lax.fori_loop(
+                    0, meta_ref[g], body,
+                    tuple(jnp.zeros((SUBLANES, LANES), jnp.float32)
+                          for _ in range(KS))))
+            vb = jnp.broadcast_to(vals_g[s8:s8 + 1], (SUBLANES, LANES))
+            for slab in range(KS):
+                p = jnp.where(valid, xgs[slab] * vb, 0.0)
                 acc = p
                 sh = 1
                 while sh < LANES:
                     acc = acc + jnp.where(lane >= sh,
                                           pltpu.roll(acc, sh, 1), 0.0)
                     sh *= 2
-                cs_s[pl.ds(slab * SUBLANES, SUBLANES),
-                     pl.ds(jb * LANES, LANES)] = acc
-                tots.append(acc[:, LANES - 1:LANES])
+                cs_s[jb, pl.ds(slab * SUBLANES, SUBLANES), :] = acc
+                tots[slab].append(acc[:, LANES - 1:LANES])
+        for slab in range(KS):
             pref_s[pl.ds(slab * SUBLANES, SUBLANES),
                    pl.ds(g * SUBLANES, SUBLANES)] = jnp.concatenate(
-                tots, axis=1)
+                tots[slab], axis=1)
 
     # exclusive prefix over register totals, per slab (NREG lanes, static
     # shift-add tree; static shifts are safe on non-pow2 lane counts)
@@ -254,55 +271,61 @@ def _spmm_kernel(
             ywin_s[:, pl.ds(BLOCK, R - BLOCK)] = jnp.zeros(
                 (k_pad, R - BLOCK), jnp.float32)
 
-    for slab in range(KS):
-        sl = pl.ds(slab * SUBLANES, SUBLANES)
-        pref_tab = pref_s[sl, pl.ds(0, LANES)]     # (8, 128), NREG valid
-        parts = []
-        pparts = []
-        for rb in range(R // LANES):
-            ends1 = jnp.clip(rowe2[rb:rb + 1] - nnz0, 0, nloc) + sh_n
-            pos1 = jnp.clip(ends1 - 1, 0, TE - 1)          # (1, 128)
-            posb = jnp.broadcast_to(pos1, (SUBLANES, LANES))
-            lposb = posb & (LANES - 1)
-            regb = posb >> 7
-            c_lo = jnp.min(pos1) >> 7
-            c_hi = jnp.max(pos1) >> 7
-            cnt = c_hi - c_lo + 1
+    parts = [[] for _ in range(KS)]
+    pparts = [[] for _ in range(KS)]
+    for rb in range(R // LANES):
+        ends1 = jnp.clip(rowe2[rb:rb + 1] - nnz0, 0, nloc) + sh_n
+        pos1 = jnp.clip(ends1 - 1, 0, TE - 1)              # (1, 128)
+        posb = jnp.broadcast_to(pos1, (SUBLANES, LANES))
+        lposb = posb & (LANES - 1)
+        regb = posb >> 7
+        c_lo = jnp.min(pos1) >> 7
+        c_hi = jnp.max(pos1) >> 7
+        cnt = c_hi - c_lo + 1
 
-            def rvisit(c, acc_g, valid, lposb=lposb, regb=regb, sl=sl):
-                off = pl.multiple_of(c * LANES, LANES)
-                win = cs_s[sl, pl.ds(off, LANES)]
-                g = jnp.take_along_axis(win, lposb, axis=1)
-                hit = regb == c
-                if valid is not None:
-                    hit = hit & valid
-                return acc_g + jnp.where(hit, g, 0.0)
+        def rvisit(c, accs, valid, lposb=lposb, regb=regb):
+            # ONE dynamic-major fetch of register c's cumsum block
+            # serves every slab
+            win = cs_s[jnp.clip(c, 0, NREG - 1)]           # (k_pad, 128)
+            hit = regb == c
+            if valid is not None:
+                hit = hit & valid
+            return tuple(
+                jnp.where(hit, jnp.take_along_axis(
+                    win[slab * SUBLANES:(slab + 1) * SUBLANES],
+                    lposb, axis=1), accs[slab])
+                for slab in range(KS))
 
-            zero = jnp.zeros((SUBLANES, LANES), jnp.float32)
-            acc_g = zero
-            # static unroll up to the per-matrix span cap (dynamic
-            # fori costs ~60 cycles/iteration of pure overhead —
-            # ~800 iterations per tile dominated the first hardware run)
-            head = row_span if 0 < row_span <= 16 else 4
-            for k in range(head):
-                c = jnp.minimum(c_lo + k, NREG - 1)
-                valid = jnp.full((SUBLANES, LANES), k < cnt)
-                acc_g = rvisit(c, acc_g, valid)
-            if not (0 < row_span <= 16):
-                acc_g = jax.lax.fori_loop(
-                    jnp.minimum(c_lo + head, c_hi + 1), c_hi + 1,
-                    lambda c, a: rvisit(c, a, None), acc_g)
+        zero = jnp.zeros((SUBLANES, LANES), jnp.float32)
+        accs = tuple(zero for _ in range(KS))
+        # static unroll up to the per-matrix span cap (dynamic
+        # fori costs ~60 cycles/iteration of pure overhead —
+        # ~800 iterations per tile dominated the first hardware run)
+        head = row_span if 0 < row_span <= 16 else 4
+        for k in range(head):
+            c = jnp.minimum(c_lo + k, NREG - 1)
+            valid = jnp.full((SUBLANES, LANES), k < cnt)
+            accs = rvisit(c, accs, valid)
+        if not (0 < row_span <= 16):
+            accs = jax.lax.fori_loop(
+                jnp.minimum(c_lo + head, c_hi + 1), c_hi + 1,
+                lambda c, a: rvisit(c, a, None), accs)
+        validb = jnp.broadcast_to(ends1 > 0, (SUBLANES, LANES))
+        regc = jnp.minimum(regb, NREG - 1)
+        for slab in range(KS):
             # register prefixes: NREG <= 128, so the whole per-slab
             # prefix table is one (8, 128) register — a single
             # lane-gather replaces the per-register accumulate
-            acc_p = jnp.take_along_axis(pref_tab,
-                                        jnp.minimum(regb, NREG - 1),
-                                        axis=1)
-            validb = jnp.broadcast_to(ends1 > 0, (SUBLANES, LANES))
-            parts.append(jnp.where(validb, acc_g, 0.0))
-            pparts.append(jnp.where(validb, acc_p, 0.0))
-        cs_end = jnp.concatenate(parts, axis=1)             # (8, R) local
-        pf_end = jnp.concatenate(pparts, axis=1)            # reg prefixes
+            pref_tab = pref_s[pl.ds(slab * SUBLANES, SUBLANES),
+                              pl.ds(0, LANES)]
+            acc_p = jnp.take_along_axis(pref_tab, regc, axis=1)
+            parts[slab].append(jnp.where(validb, accs[slab], 0.0))
+            pparts[slab].append(jnp.where(validb, acc_p, 0.0))
+
+    for slab in range(KS):
+        sl = pl.ds(slab * SUBLANES, SUBLANES)
+        cs_end = jnp.concatenate(parts[slab], axis=1)       # (8, R) local
+        pf_end = jnp.concatenate(pparts[slab], axis=1)      # reg prefixes
 
         # two separate first differences (lanes): rows within one
         # 128-item register cancel the prefix exactly (numerics parity
@@ -318,7 +341,7 @@ def _spmm_kernel(
         row_mask = (rl >= sh_r) & (rl < sh_r + rows_done)
 
         # tile total per kk = exclusive prefix of last register + its sum
-        last_reg = cs_s[sl, pl.ds((NREG - 1) * LANES, LANES)]
+        last_reg = cs_s[NREG - 1, sl, :]
         total = (pref_s[sl, pl.ds(NREG - 1, 1)]
                  + last_reg[:, LANES - 1:LANES])            # (8, 1)
         last_sel = rl == sh_r + rows_done - 1
@@ -366,7 +389,7 @@ def _spmm_kernel(
     def _():
         write_dma(jnp.maximum(t - 1, 0), 1 - slot).wait()
 
-    ywrite_s[:, pl.ds(pl.multiple_of(slot * R, LANES), R)] = ywin_s[...]
+    ywrite_s[pl.ds(slot, 1)] = ywin_s[...][None]
     write_dma(t, slot).start()
 
     @pl.when(t == num_tiles - 1)
@@ -439,7 +462,12 @@ def _csrmm_core(plan: SpmvPlan, k_pad: int, values_p, cols_p, rowends_p,
     meta_mode = "list" if meta_is_list else "range"
     has_ybase = False          # beta*Y_in is an XLA post-add (see kernel)
     W = meta_width(T, K)
-    x_winl = 0 if x_resident else plan.x_win * LANES
+    NREG = TE // LANES
+    NW = max(1, BLOCK * max(1, -(-plan.num_cols // BLOCK)) // LANES)
+    x_win = 0 if x_resident else plan.x_win
+    # XT3 scratch: whole table when resident (staged once at t==0),
+    # double-buffered per-tile window ranges when streamed
+    xtw_rows = NW if x_resident else 2 * x_win
 
     out_len = -(-(plan.num_rows + R + BLOCK) // BLOCK) * BLOCK
 
@@ -447,8 +475,7 @@ def _csrmm_core(plan: SpmvPlan, k_pad: int, values_p, cols_p, rowends_p,
         num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM if x_resident
-                         else pltpu.HBM),         # XT
+            pl.BlockSpec(memory_space=pltpu.HBM),  # XT3 (NW, k_pad, 128)
             pl.BlockSpec(memory_space=pl.ANY),    # values
             pl.BlockSpec(memory_space=pl.ANY),    # cols
             pl.BlockSpec(memory_space=pl.ANY),    # row ends
@@ -463,10 +490,10 @@ def _csrmm_core(plan: SpmvPlan, k_pad: int, values_p, cols_p, rowends_p,
             pltpu.VMEM((2 * R,), jnp.int32),               # row-end windows
             pltpu.VMEM((k_pad, LANES), jnp.float32),       # (unused ybase slot)
             pltpu.VMEM((k_pad, R), jnp.float32),           # YT window
-            pltpu.VMEM((k_pad, 2 * R), jnp.float32),       # write staging
-            pltpu.VMEM((k_pad, max(2 * x_winl, LANES)),
-                       jnp.float32),                       # XT windows
-            pltpu.VMEM((k_pad, TE), jnp.float32),          # cumsum tables
+            pltpu.VMEM((2, k_pad, R), jnp.float32),        # write staging
+            pltpu.VMEM((xtw_rows, k_pad, LANES),
+                       jnp.float32),                       # XT3 windows/table
+            pltpu.VMEM((NREG, k_pad, LANES), jnp.float32),  # cumsum tables
             pltpu.VMEM((k_pad, LANES), jnp.float32),       # register prefixes
                                                            # (NREG <= 128)
             pltpu.VMEM((k_pad, LANES), jnp.float32),       # carries
@@ -478,7 +505,7 @@ def _csrmm_core(plan: SpmvPlan, k_pad: int, values_p, cols_p, rowends_p,
     kernel = functools.partial(
         _spmm_kernel, tile_items=T, r_win=R, k_pad=k_pad,
         meta_mode=meta_mode, meta_k=K, has_ybase=has_ybase,
-        x_winl=x_winl, row_span=plan.row_span)
+        x_win=x_win, row_span=plan.row_span)
 
     if yt_base is None:
         yt_base = jnp.zeros((k_pad, LANES), jnp.float32)
@@ -502,12 +529,14 @@ def _csrmm_core(plan: SpmvPlan, k_pad: int, values_p, cols_p, rowends_p,
 def _csrmm_call(plan, k_pad, values_p, cols_p, rowends_p, tile_rows,
                 tile_nnz, cbase, meta, X, Y_in, alpha, beta, *,
                 meta_is_list, has_y, interpret, x_resident):
-    # XT padded to whole 1024-column chunks so window reads/DMAs never
-    # run off the table (matches the packed-x grid of csrmv)
+    # XT3 (NW, k_pad, 128): 128-column windows MAJOR, padded to whole
+    # 1024-column chunks so window reads/DMAs never run off the table
+    # (same window grid as csrmv's packed x)
     Cp = BLOCK * max(1, -(-plan.num_cols // BLOCK))
     C, k = X.shape
     xt = jnp.swapaxes(X.astype(jnp.float32), 0, 1) * alpha
     xt = jnp.pad(xt, ((0, k_pad - k), (0, Cp - C)))
+    xt = jnp.moveaxis(xt.reshape(k_pad, Cp // LANES, LANES), 1, 0)
     yt = _csrmm_core(plan, k_pad, values_p, cols_p, rowends_p, tile_rows,
                      tile_nnz, cbase, meta, xt, None,
                      meta_is_list=meta_is_list, interpret=interpret,
