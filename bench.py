@@ -75,6 +75,8 @@ def _bench_csr(csr, build=None):
 
 
 def main():
+    from merge_spmv_tpu.utils.hostmem import enable_warm_heap
+    enable_warm_heap()   # warm-page reuse for plan-time numpy
     import numpy as np
 
     from merge_spmv_tpu.formats.coo import CooMatrix

@@ -158,47 +158,52 @@ def pack_tile_meta(cnt, lst, tile_nnz, tile_items: int):
 
 
 def tile_col_windows_np(col_indices, num_nonzeros: int, tile_items: int):
-    """Per-tile x-window bases for streaming mode (x larger than VMEM).
+    """Per-block subchunk min/max for the x-window machinery.
 
-    Returns (cbase_sub[num_tiles + 1], x_win_sub): for tile t the kernel
-    DMAs x rows [cbase_sub[t], cbase_sub[t] + x_win_sub) of the packed
-    (num_sub, 128) x table — covering every column any of the tile's
-    blocks touches.  Bases are 8-subchunk (1024-column) aligned so coarse
-    chunk visits stay aligned.  Only useful when the matrix has column
-    locality; the plan rejects the mode if the window would not fit VMEM.
-    """
+    Returns (bmin, bmax) over aligned 1024-nnz blocks (subchunk units)."""
     cols = np.asarray(col_indices[:num_nonzeros], dtype=np.int64)
     nb = max(1, -(-num_nonzeros // BLOCK))
     sc = _pad_blocks(cols >> 7, nb).astype(np.int64)
-    bmin = sc.min(axis=1)
-    bmax = sc.max(axis=1)
-    bpt = (tile_items + BLOCK) // BLOCK
-    # tile t covers blocks [tile_nnz[t]//BLOCK, +bpt): sliding window
-    # min/max over bpt consecutive blocks.  sliding_window_view is a
-    # stride view — O(1) extra memory, unlike the naive np.stack form
-    # which materialized nb*bpt entries (ruinous at 100M-nnz plan time).
-    pad = np.full(bpt, 2**31, np.int64)
-    bmin_p = np.concatenate([bmin, pad])
-    bmax_p = np.concatenate([bmax, -pad])
-    sw = np.lib.stride_tricks.sliding_window_view
-    win_min = sw(bmin_p, bpt)[:nb].min(axis=1)
-    win_max = sw(bmax_p, bpt)[:nb].max(axis=1)
-    return win_min, win_max
+    return sc.min(axis=1), sc.max(axis=1)
 
 
 def tile_col_meta_np(col_indices, num_nonzeros: int, row_end_offsets,
                      tile_items: int):
-    """(cbase_sub[num_tiles + 1] int32, x_win_sub int) for the plan."""
+    """(cbase_sub[num_tiles + 1] int32, x_win_sub int) for the plan.
+
+    For tile t the kernel DMAs x rows [cbase_sub[t], cbase_sub[t] +
+    x_win_sub) of the packed (num_sub, 128) x table — covering every
+    column the tile's OWN nonzeros touch.  The window is computed over
+    the tile's exact block range [tile_nnz[t] >> 10, ceil(tile_nnz[t+1] /
+    1024)) — not a worst-case tile_items-wide span: a row-dominated tile
+    holds far fewer nonzero blocks than the bound, and (stacked-band
+    matrices, ops/split.py) a worst-case span would leak into the next
+    band's column range and blow the streaming budget.  Bases are
+    8-subchunk (1024-column) aligned so coarse chunk visits stay aligned.
+    """
     from merge_spmv_tpu.ops.merge_path import merge_tile_coordinates_np
 
     _, tile_nnz = merge_tile_coordinates_np(row_end_offsets, num_nonzeros,
                                             tile_items)
-    win_min, win_max = tile_col_windows_np(col_indices, num_nonzeros,
-                                           tile_items)
-    b0 = np.asarray(tile_nnz[:-1], np.int64) // BLOCK
-    b0 = np.minimum(b0, len(win_min) - 1)
-    cmin = (win_min[b0] // 8) * 8                     # 1024-col aligned
-    span = win_max[b0] - cmin + 1
+    bmin, bmax = tile_col_windows_np(col_indices, num_nonzeros, tile_items)
+    nb = len(bmin)
+    t_nnz = np.asarray(tile_nnz, np.int64)
+    b0 = np.minimum(t_nnz[:-1] // BLOCK, nb - 1)
+    b1 = np.clip(-(-t_nnz[1:] // BLOCK), b0 + 1, nb)   # exclusive, >= b0+1
+    # segmented min/max over [b0[t], b1[t]) via reduceat on interleaved
+    # boundaries (ranges may share one straddling block — reduceat
+    # handles the overlap since each tile's range is reduced separately).
+    # One identity sentinel is appended so b1 == nb is a valid reduceat
+    # index; even-position segments [b0, b1) never reach it.
+    idx = np.empty(2 * len(b0), np.int64)
+    idx[0::2] = b0
+    idx[1::2] = b1
+    bmin_e = np.concatenate([bmin, [2**31]])
+    bmax_e = np.concatenate([bmax, [-2**31]])
+    win_min = np.minimum.reduceat(bmin_e, idx)[0::2]
+    win_max = np.maximum.reduceat(bmax_e, idx)[0::2]
+    cmin = (win_min // 8) * 8                          # 1024-col aligned
+    span = win_max - cmin + 1
     x_win_sub = int(-(-int(span.max()) // 8) * 8) if len(span) else 8
     cbase = np.concatenate([cmin, [0]]).astype(np.int32)
     return cbase, max(8, x_win_sub)

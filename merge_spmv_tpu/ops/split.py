@@ -1,17 +1,29 @@
 """Prepare-time matrix splitting for scattered-column matrices (opt-in).
 
 The merge kernel's gather cost is proportional to the number of distinct
-1024-column chunks each 1024-nonzero block touches (ops/gather_plan.py).
-A matrix whose columns scatter over a wide range around the diagonal
+column chunks each 1024-nonzero block touches (ops/gather_plan.py).  A
+matrix whose columns scatter over a wide range around the diagonal
 (circuit/graph classes) forces O(range/1024) chunk visits per block — the
 cost is matrix-intrinsic under the no-preprocessing contract.
 
 This module trades one-time setup for per-call speed: the nonzeros are
-split by signed diagonal distance into geometric bands, each band a valid
-CSR over the SAME rows (empty rows are native to merge-path, so band
-matrices need no row remapping).  Each band's blocks then span only the
-band's width, collapsing the per-block chunk-visit count; the band results
-chain through the kernel's beta-accumulation epilogue.
+split by signed diagonal distance into bands, and the bands are STACKED
+VERTICALLY into one (num_bands * m, n) CSR over a virtual row space —
+row r of band b becomes stacked row b*m + r.  Within a band each block's
+columns span only the band's width, collapsing the per-block chunk-visit
+count; and because the stack is a single CSR, the whole split runs as ONE
+merge-kernel launch under ONE plan (one compile, one dispatch), finished
+by a cheap ``y.reshape(B, m).sum(0)`` epilogue.  (Round-3 v1 chained B
+separate per-band operators through beta=1 epilogues: B compiles, B
+dispatches, and B-1 extra y read/write round trips — all structural
+overhead the stack removes.)
+
+Band edges come in two flavors:
+
+* geometric ``edges_chunks=(8, 32)`` — fixed signed edges in 1024-column
+  units, matched to exponentially-decaying off-diagonal densities;
+* ``edges_chunks="quantile"`` with ``num_bands=B`` — signed-distance
+  quantiles, equal-nnz bands for arbitrary distance profiles.
 
 This is the TPU analog of the reference's cuSPARSE HybMV comparison point:
 an ELL+COO *format split* whose setup time is measured and reported
@@ -19,37 +31,161 @@ separately from the multiply (gpu_spmv.cu:106-251, README.md:143-144 —
 1059.8 ms setup for circuit5M).  The default operator remains strictly
 no-preprocessing (README.md:5-7); `SplitSpmvOperator` is the documented
 opt-in for scatter-heavy matrices, with `setup_ms` exposed.
-
-Measured (circuit5M-class synthetic, 5.56M rows, 56.7M nnz, Laplace
-+-64K-clipped columns, v5e): single-matrix merge kernel 214 ms -> banded
-split 5 bands ~40-60 ms at ~2 s setup.
 """
 
 from __future__ import annotations
 
 import time
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Union
 
 import numpy as np
 
 from merge_spmv_tpu.formats.csr import CsrMatrix
 
-__all__ = ["split_by_distance", "SplitSpmvOperator", "build_split_operator"]
+__all__ = ["split_by_distance", "SplitSpmvOperator", "build_split_operator",
+           "band_assignment", "stack_bands"]
 
 
 def _row_ids(csr: CsrMatrix) -> np.ndarray:
-    lens = np.diff(csr.row_offsets).astype(np.int64)
-    return np.repeat(np.arange(csr.num_rows, dtype=np.int64), lens)
+    lens = np.diff(csr.row_offsets)
+    return np.repeat(np.arange(csr.num_rows, dtype=np.int32),
+                     lens).astype(np.int32, copy=False)
+
+
+def band_assignment(csr: CsrMatrix,
+                    edges_chunks: Union[Sequence[int], str] = (8, 32),
+                    num_bands: int = 5,
+                    min_frac: float = 0.02,
+                    row_ids: Optional[np.ndarray] = None):
+    """Per-nonzero band ids from signed diagonal distance.
+
+    Geometric mode (``edges_chunks`` a sequence): positive edges in
+    1024-column units; the signed edge list becomes
+    [-inf, -e_n..., -e_1, e_1, ..., e_n, inf].  Quantile mode
+    (``edges_chunks == "quantile"``): ``num_bands`` equal-nnz bands from
+    signed-distance quantiles, 1024-aligned.  Bands holding less than
+    ``min_frac`` of the nonzeros are merged into their inner neighbor
+    (they would pay per-band fixed costs for nothing).
+
+    Returns (band, nbands): int8 ids in [0, nbands), densely renumbered
+    in ascending-distance order.
+    """
+    if row_ids is None:
+        row_ids = _row_ids(csr)
+    # |col - row| < 2**31 always holds for int32 column indices, so the
+    # distance fits int32 — half the temporary footprint of the int64 form
+    d = csr.col_indices.astype(np.int32, copy=False) - row_ids
+    if isinstance(edges_chunks, str):
+        if edges_chunks != "quantile":
+            raise ValueError(f"unknown edges mode {edges_chunks!r}")
+        if num_bands < 2:
+            return np.zeros(d.shape[0], np.int8), 1
+        qs = np.quantile(d, np.arange(1, num_bands) / num_bands)
+        signed_edges = np.unique((np.round(qs / 1024.0) * 1024
+                                  ).astype(np.int64))
+    else:
+        edges = np.array(sorted({int(e) * 1024 for e in edges_chunks
+                                 if e > 0}), dtype=np.int64)
+        signed_edges = np.concatenate([-edges[::-1], edges])
+    if signed_edges.size == 0:
+        return np.zeros(d.shape[0], np.int8), 1
+    # edges cast to d's dtype: int64 edges silently promote the whole
+    # 56.7M-element distance array inside searchsorted (measured 103 s vs
+    # 5.3 s at circuit5M scale on a fault-rate-limited host)
+    band = np.searchsorted(signed_edges.astype(d.dtype), d,
+                           side="left").astype(np.int8)
+    nbands = len(signed_edges) + 1
+    counts = np.bincount(band, minlength=nbands)
+    # merge sub-threshold bands inward (towards the most-populated band —
+    # in geometric mode that is the diagonal band; quantile bands are
+    # near-equal so merging is rare)
+    mid = int(np.argmax(counts))
+    remap = np.arange(nbands, dtype=np.int8)
+    thresh = min_frac * max(1, csr.num_nonzeros)
+    for b in range(nbands):
+        if counts[b] and counts[b] < thresh:
+            step = 1 if b < mid else -1
+            t = b
+            while t != mid and (counts[t] < thresh or t == b):
+                t += step
+            remap[b] = t
+    band = remap[band]
+    # dense renumbering preserving distance order
+    used = np.flatnonzero(np.bincount(band, minlength=nbands))
+    renum = np.zeros(nbands, np.int8)
+    renum[used] = np.arange(len(used), dtype=np.int8)
+    return renum[band], len(used)
+
+
+def stack_bands(csr: CsrMatrix, band: np.ndarray, nbands: int,
+                row_ids: Optional[np.ndarray] = None,
+                tile_items: int = 0) -> CsrMatrix:
+    """Stack the bands vertically into one (nbands * m, n) CSR.
+
+    A stable sort by band id preserves row-major order inside each band,
+    so the permuted cols/values ARE the stacked CSR's arrays; the stacked
+    row lengths are per-band bincounts over the sort's segments.  Empty
+    rows are native to the merge path (sparse_matrix.h:707-727 backfill
+    semantics), so sparse bands need no row compaction.
+
+    ``tile_items``: when nonzero, band boundaries are aligned so the
+    kernel's blocking never mixes bands: each band's row count is padded
+    to m_pad = ceil(m/1024)*1024 virtual rows (trailing empties) and its
+    nonzeros to nnz'_b ≡ -m_pad (mod tile_items) with zero-VALUED dummies
+    on the band's last (virtual) row, whose column repeats the band's own
+    last column.  Then every band starts on BOTH a 1024-nonzero gather
+    block boundary (nnz'_b ≡ 0 mod 1024 since tile_items and m_pad are)
+    and a merge-tile boundary (m_pad + nnz'_b ≡ 0 mod tile_items).
+    Without the alignment, a gather block or tile straddling a band
+    boundary mixes the last rows of band b (columns near n) with the
+    first rows of band b+1 (columns near 0) — its x window then spans the
+    whole matrix and blows the per-tile streaming budget, forcing the
+    plan off the pallas backend.  Returns (stacked, m_pad).
+    """
+    if row_ids is None:
+        row_ids = _row_ids(csr)
+    m = csr.num_rows
+    if nbands == 1:
+        return csr, m
+    m_pad = m
+    if tile_items:
+        assert tile_items % 1024 == 0
+        m_pad = -(-m // 1024) * 1024
+    order = np.argsort(band, kind="stable")
+    # per-band bincounts over the order segments (a fused (band*m + row)
+    # int64 key would cost two more 450 MB temporaries at circuit5M scale)
+    bcounts = np.bincount(band, minlength=nbands)
+    seg = np.concatenate([[0], np.cumsum(bcounts)])
+    pad = np.zeros(nbands, np.int64)
+    if tile_items:
+        pad = (-(m_pad + bcounts)) % tile_items
+    dst = np.concatenate([[0], np.cumsum(bcounts + pad)])
+    total = int(dst[-1])
+    rows_sorted = row_ids[order]
+    cols_sorted = csr.col_indices[order]
+    vals_sorted = csr.values[order]
+    cols_s = np.empty(total, cols_sorted.dtype)
+    vals_s = np.zeros(total, vals_sorted.dtype)
+    row_offsets = np.zeros(nbands * m_pad + 1, dtype=np.int64)
+    for b in range(nbands):
+        s0, s1 = int(seg[b]), int(seg[b + 1])
+        d0 = int(dst[b])
+        cols_s[d0:d0 + s1 - s0] = cols_sorted[s0:s1]
+        vals_s[d0:d0 + s1 - s0] = vals_sorted[s0:s1]
+        if pad[b]:
+            cols_s[d0 + s1 - s0:int(dst[b + 1])] = (
+                cols_sorted[s1 - 1] if s1 > s0 else 0)
+        lens_b = np.bincount(rows_sorted[s0:s1], minlength=m_pad)
+        lens_b[m_pad - 1] += pad[b]
+        row_offsets[1 + b * m_pad:1 + (b + 1) * m_pad] = lens_b
+    np.cumsum(row_offsets[1:], out=row_offsets[1:])
+    return CsrMatrix(nbands * m_pad, csr.num_cols, row_offsets,
+                     cols_s, vals_s), m_pad
 
 
 def _subset_csr(csr: CsrMatrix, mask: np.ndarray,
                 row_ids: np.ndarray) -> CsrMatrix:
-    """CSR holding only the masked nonzeros; same shape, same rows.
-
-    The mask preserves CSR order, so the subset stays row-sorted; rows
-    losing all their entries become empty rows (row_offsets[r] ==
-    row_offsets[r+1]), which the merge path consumes natively
-    (sparse_matrix.h:707-727 empty-row backfill semantics)."""
+    """CSR holding only the masked nonzeros; same shape, same rows."""
     sel_rows = row_ids[mask]
     counts = np.bincount(sel_rows, minlength=csr.num_rows)
     row_offsets = np.zeros(csr.num_rows + 1, dtype=csr.row_offsets.dtype)
@@ -60,94 +196,90 @@ def _subset_csr(csr: CsrMatrix, mask: np.ndarray,
 
 
 def split_by_distance(csr: CsrMatrix,
-                      edges_chunks: Sequence[int] = (8, 32),
-                      min_frac: float = 0.02):
-    """Split by signed diagonal distance into geometric bands.
-
-    ``edges_chunks`` are positive band edges in 1024-column chunks; the
-    signed edge list becomes [-inf, -e_n..., -e_1, e_1, ..., e_n, inf].
-    Bands holding less than ``min_frac`` of the nonzeros are merged into
-    their inner neighbor (they would pay per-band fixed costs for nothing).
-
-    Returns (bands, band_ids) where bands is a list of CsrMatrix.
-    """
+                      edges_chunks: Union[Sequence[int], str] = (8, 32),
+                      min_frac: float = 0.02, num_bands: int = 5):
+    """Split into per-band CsrMatrix views (each a valid CSR over the SAME
+    rows).  Returns (bands, band_ids).  The operator path uses the stacked
+    form (stack_bands) instead; this materialized form serves analysis and
+    the partition tests."""
     row_ids = _row_ids(csr)
-    d = csr.col_indices.astype(np.int64) - row_ids
-    edges = np.array(sorted({int(e) * 1024 for e in edges_chunks if e > 0}),
-                     dtype=np.int64)
-    signed_edges = np.concatenate([-edges[::-1], edges])
-    band = np.digitize(d, signed_edges)           # 0 .. len(signed_edges)
-    nbands = len(signed_edges) + 1
-    counts = np.bincount(band, minlength=nbands)
-    # merge sub-threshold bands inward (towards the diagonal band)
-    mid = len(edges)                              # index of the |d|<e_1 band
-    remap = np.arange(nbands)
-    for b in range(nbands):
-        if counts[b] and counts[b] < min_frac * csr.num_nonzeros:
-            step = 1 if b < mid else -1
-            t = b
-            while t != mid and (counts[t] < min_frac * csr.num_nonzeros
-                                or t == b):
-                t += step
-            remap[b] = t
-    band = remap[band]
-    bands = []
-    for b in np.unique(band):
-        bands.append(_subset_csr(csr, band == b, row_ids))
+    band, nbands = band_assignment(csr, edges_chunks, num_bands=num_bands,
+                                   min_frac=min_frac, row_ids=row_ids)
+    bands = [_subset_csr(csr, band == b, row_ids) for b in range(nbands)]
     return bands, band
 
 
 class SplitSpmvOperator:
-    """Banded SpMV: one SpmvOperator per band, chained by beta=1 carries.
+    """Banded SpMV via one stacked-band kernel launch.
 
-    y = alpha * (sum_b A_b) @ x + beta * y_in is computed as
-    y_0 = alpha*A_0@x + beta*y_in;  y_b = alpha*A_b@x + y_{b-1}.
+    y = alpha * A @ x + beta * y_in runs as y_v = A_stacked @ (alpha*x)
+    (one merge-kernel call over the (B*m, n) stack), then the epilogue
+    y = y_v.reshape(B, m).sum(0) + beta*y_in — a single XLA reduction.
 
-    ``setup_ms`` records the split + per-band prepare cost — report it the
-    way the reference reports HYB conversion time (gpu_spmv.cu:114-134).
+    ``setup_ms`` records the split + prepare cost — report it the way the
+    reference reports HYB conversion time (gpu_spmv.cu:114-134).
     """
 
     def __init__(self, csr: CsrMatrix, dtype="float32",
-                 edges_chunks: Sequence[int] = (8, 32),
+                 edges_chunks: Union[Sequence[int], str] = (8, 32),
+                 num_bands: int = 5,
                  tile_items: Optional[int] = None):
         from merge_spmv_tpu.ops.operator import build_operator
 
+        from merge_spmv_tpu.ops.plan import make_plan
+
         t0 = time.perf_counter()
-        bands, _ = split_by_distance(csr, edges_chunks=edges_chunks)
-        self.bands = bands
-        self.ops = [build_operator(b, dtype=dtype, tile_items=tile_items)
-                    for b in bands]
-        self.plan = self.ops[0].plan if self.ops else None
+        row_ids = _row_ids(csr)
+        band, nb = band_assignment(csr, edges_chunks, num_bands=num_bands,
+                                   row_ids=row_ids)
+        self.num_bands = nb
+        self.num_rows = csr.num_rows
+        self.band_nnz = np.bincount(band, minlength=nb).tolist()
+        # resolve the tile size BEFORE stacking: bands are padded to tile
+        # boundaries so no merge tile straddles a band (see stack_bands)
+        if tile_items is None:
+            tile_items = make_plan(nb * csr.num_rows, csr.num_cols,
+                                   csr.num_nonzeros, dtype=dtype).tile_items
+        self.stacked, self._m_pad = stack_bands(csr, band, nb,
+                                                row_ids=row_ids,
+                                                tile_items=tile_items)
+        self.op = build_operator(self.stacked, dtype=dtype,
+                                 tile_items=tile_items)
+        self.plan = self.op.plan
         self.setup_ms = (time.perf_counter() - t0) * 1e3
-        self.num_bands = len(self.ops)
 
     def __call__(self, x, y_in=None, alpha=1.0, beta=0.0,
                  interpret: bool = False):
-        y = self.ops[0](x, y_in=y_in, alpha=alpha, beta=beta,
-                        interpret=interpret)
-        for op in self.ops[1:]:
-            y = op(x, y_in=y, alpha=alpha, beta=1.0, interpret=interpret)
+        import jax.numpy as jnp
+        y_v = self.op(x, alpha=alpha, interpret=interpret)
+        y = y_v.reshape(self.num_bands,
+                        self._m_pad)[:, :self.num_rows].sum(axis=0)
+        if y_in is not None:
+            y = y + jnp.asarray(beta, y.dtype) * y_in
         return y
 
     def mm(self, X, Y_in=None, alpha=1.0, beta=0.0, interpret: bool = False,
            method: str = "auto"):
-        Y = self.ops[0].mm(X, Y_in=Y_in, alpha=alpha, beta=beta,
-                           interpret=interpret, method=method)
-        for op in self.ops[1:]:
-            Y = op.mm(X, Y_in=Y, alpha=alpha, beta=1.0,
-                      interpret=interpret, method=method)
+        import jax.numpy as jnp
+        Y_v = self.op.mm(X, alpha=alpha, interpret=interpret, method=method)
+        k = Y_v.shape[1]
+        Y = Y_v.reshape(self.num_bands, self._m_pad,
+                        k)[:, :self.num_rows].sum(axis=0)
+        if Y_in is not None:
+            Y = Y + jnp.asarray(beta, Y.dtype) * Y_in
         return Y
 
     def describe(self) -> str:
-        parts = ", ".join(f"{b.num_nonzeros}" for b in self.bands)
-        return (f"SplitSpmvOperator({self.num_bands} bands, nnz=[{parts}], "
-                f"setup={self.setup_ms:.0f} ms)")
+        parts = ", ".join(str(n) for n in self.band_nnz)
+        return (f"SplitSpmvOperator({self.num_bands} bands stacked, "
+                f"nnz=[{parts}], setup={self.setup_ms:.0f} ms)")
 
 
 def build_split_operator(csr: CsrMatrix, dtype="float32",
-                         edges_chunks: Sequence[int] = (8, 32),
+                         edges_chunks: Union[Sequence[int], str] = (8, 32),
+                         num_bands: int = 5,
                          tile_items: Optional[int] = None
                          ) -> SplitSpmvOperator:
     """Build the banded operator (see module docstring for when)."""
     return SplitSpmvOperator(csr, dtype=dtype, edges_chunks=edges_chunks,
-                             tile_items=tile_items)
+                             num_bands=num_bands, tile_items=tile_items)

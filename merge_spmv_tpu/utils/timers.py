@@ -196,43 +196,42 @@ def operator_step_fn(op):
 
 
 def split_operator_step_fn(sop):
-    """Chained-timing step for a SplitSpmvOperator (ops/split.py): all
-    bands' prepared arrays ride as jit ARGUMENTS (a closure would embed
-    them in the remote-compile payload — HTTP 413 at circuit5M scale),
-    and the band kernels chain through beta=1 accumulation inside one jit.
+    """Chained-timing step for a SplitSpmvOperator (ops/split.py): the
+    stacked-band kernel plus its reshape-sum epilogue inside one jit, with
+    the prepared arrays riding as jit ARGUMENTS (a closure would embed
+    them in the remote-compile payload — HTTP 413 at circuit5M scale).
     """
     import jax
     import jax.numpy as jnp
 
     from merge_spmv_tpu.ops.csrmv_pallas import _prepared_call
 
-    assert all(getattr(op, "_prep", None) is not None
-               and op.plan.backend == "pallas" for op in sop.ops), \
-        "split step requires prepared pallas band operators"
-    plans = tuple(op._plan32 for op in sop.ops)
-    is_list = tuple(op._prep.meta_is_list for op in sop.ops)
-    flat = []
-    for op in sop.ops:
-        p = op._prep
-        flat += [p.values_p, p.cols_p, p.rowends_p, p.tile_rows,
-                 p.tile_nnz, p.cbase, p.tile_flags, p.meta, p.rowmeta]
-    ncols = plans[0].num_cols
+    op = sop.op
+    assert (getattr(op, "_prep", None) is not None
+            and op.plan.backend == "pallas"), \
+        "split step requires a prepared pallas stacked operator"
+    prep = op._prep
+    p32 = op._plan32
+    B, mp, m = sop.num_bands, sop._m_pad, sop.num_rows
+    ncols = p32.num_cols
+    arrs = [prep.values_p, prep.cols_p, prep.rowends_p, prep.tile_rows,
+            prep.tile_nnz, prep.cbase, prep.tile_flags, prep.meta]
+    if prep.rowmeta is not None:
+        arrs.append(prep.rowmeta)
 
     @jax.jit
-    def _step(xc, *arrs):
-        y = None
-        for i, plan in enumerate(plans):
-            a = arrs[9 * i:9 * i + 9]
-            y = _prepared_call(
-                plan, *a[:8], xc, y, jnp.float32(1.0),
-                jnp.float32(1.0), a[8],
-                meta_is_list=is_list[i], alpha_one=True,
-                interpret=False)
-        if plans[0].num_rows >= ncols:
+    def _step(xc, *a):
+        y_v = _prepared_call(
+            p32, *a[:8], xc, None, jnp.float32(1.0), jnp.float32(0.0),
+            a[8] if len(a) > 8 else None,
+            meta_is_list=prep.meta_is_list, alpha_one=True,
+            interpret=False)
+        y = y_v.reshape(B, mp)[:, :m].sum(axis=0)
+        if m >= ncols:
             return xc + y[:ncols] * 1e-20
-        return xc + jnp.pad(y, (0, ncols - plans[0].num_rows)) * 1e-20
+        return xc + jnp.pad(y, (0, ncols - m)) * 1e-20
 
-    return lambda xc: _step(xc, *flat)
+    return lambda xc: _step(xc, *arrs)
 
 
 def chain_through(y_to_x_scale=1e-12):

@@ -64,6 +64,30 @@ def test_split_operator_matches_gold():
     assert compare_results(np.asarray(y), gold, abs_bound=bound) is None
 
 
+def test_split_quantile_operator_matches_gold():
+    csr = _scattered(n=3000, deg=7, spread=900)
+    import jax.numpy as jnp
+    op = build_split_operator(csr, dtype="float32",
+                              edges_chunks="quantile", num_bands=4)
+    assert op.num_bands >= 2
+    # stacked structure: B*m_pad virtual rows; real nnz conserved (the
+    # stack may add zero-valued dummies padding each band to block/tile
+    # boundaries)
+    assert op.stacked.num_rows == op.num_bands * op._m_pad
+    assert op._m_pad >= csr.num_rows
+    assert op.stacked.num_nonzeros >= csr.num_nonzeros
+    assert np.count_nonzero(op.stacked.values) == np.count_nonzero(csr.values)
+    assert sum(op.band_nnz) == csr.num_nonzeros
+    rs = np.random.RandomState(2)
+    x = rs.uniform(-1, 1, csr.num_cols).astype(np.float32)
+    y0 = rs.uniform(-1, 1, csr.num_rows).astype(np.float32)
+    y = op(jnp.asarray(x), y_in=jnp.asarray(y0), alpha=2.0, beta=0.25,
+           interpret=True)
+    gold = csr.spmv_gold(x, y0, alpha=2.0, beta=0.25)
+    bound = csr.spmv_abs_bound(x, y0, alpha=2.0, beta=0.25)
+    assert compare_results(np.asarray(y), gold, abs_bound=bound) is None
+
+
 def test_split_operator_mm_matches_gold():
     csr = _scattered(n=1500, deg=5, spread=400)
     import jax.numpy as jnp

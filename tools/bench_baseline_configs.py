@@ -153,6 +153,8 @@ def run_csrmv(name, csr, dtype_name, chains=10, out=None):
 
 
 def main():
+    from merge_spmv_tpu.utils.hostmem import enable_warm_heap
+    enable_warm_heap()   # warm-page reuse for plan-time numpy
     import numpy as np
 
     from merge_spmv_tpu.formats.coo import CooMatrix

@@ -76,6 +76,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from merge_spmv_tpu.utils.hostmem import enable_warm_heap
+    enable_warm_heap()   # plan-time numpy passes: warm-page reuse
+                         # (10-100x on faulted-page-starved hosts)
+
     from merge_spmv_tpu.formats.coo import CooMatrix
     from merge_spmv_tpu.formats.csr import CsrMatrix
     from merge_spmv_tpu.ops.operator import build_operator
@@ -131,8 +135,16 @@ def main():
     # splitting nonzeros into signed diagonal-distance bands
     try:
         from merge_spmv_tpu.ops.split import build_split_operator
+        edges = (8, 32)
+        nb = 5
+        for a in sys.argv[1:]:
+            if a.startswith("--bands="):
+                edges, nb = "quantile", int(a.split("=")[1])
+            elif a.startswith("--edges="):
+                edges = tuple(int(e) for e in a.split("=")[1].split(","))
         t0 = time.time()
-        op_s = build_split_operator(csr, dtype="float32")
+        op_s = build_split_operator(csr, dtype="float32",
+                                    edges_chunks=edges, num_bands=nb)
         y_s = op_s(xd)
         jax.block_until_ready(y_s)
         setup_split_s = time.time() - t0
@@ -151,7 +163,9 @@ def main():
                         "gflops": round(2 * csr.num_nonzeros / ms_s / 1e6, 2),
                         "effective_gbps": round(gbps_s, 1), "verified": ok_s,
                         "num_bands": op_s.num_bands,
-                        "split_setup_ms": round(op_s.setup_ms, 0)}
+                        "edges": str(edges),
+                        "split_setup_ms": round(op_s.setup_ms, 0),
+                        "split_total_setup_s": round(setup_split_s, 1)}
     except Exception as e:  # noqa: BLE001
         import traceback
         traceback.print_exc()

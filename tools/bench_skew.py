@@ -21,6 +21,8 @@ from bench import chained_kernel_ms  # noqa: E402  (repo-root bench.py)
 
 
 def main():
+    from merge_spmv_tpu.utils.hostmem import enable_warm_heap
+    enable_warm_heap()   # warm-page reuse for plan-time numpy
     import numpy as np
     import jax
     import jax.numpy as jnp

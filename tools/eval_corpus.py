@@ -21,6 +21,8 @@ HEADER = ("dataset, num_rows, num_cols, num_nonzeros, row_length_mean, "
 
 
 def main(argv=None):
+    from merge_spmv_tpu.utils.hostmem import enable_warm_heap
+    enable_warm_heap()   # warm-page reuse for plan-time numpy
     ap = argparse.ArgumentParser()
     ap.add_argument("mtx_dir")
     ap.add_argument("--fp64", action="store_true")

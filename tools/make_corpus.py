@@ -26,6 +26,8 @@ def write_banner_variant(path, banner, body_lines, comment="parser probe"):
 
 
 def main(argv=None):
+    from merge_spmv_tpu.utils.hostmem import enable_warm_heap
+    enable_warm_heap()   # warm-page reuse for plan-time numpy
     ap = argparse.ArgumentParser()
     ap.add_argument("out_dir")
     ap.add_argument("--large", action="store_true",
