@@ -107,6 +107,14 @@ class SpmvOperator:
         128-column passes.  Other backends use the csrmm dispatcher."""
         import jax.numpy as jnp
         k = X.shape[1]
+        if method == "wide" and not (self.plan.backend == "pallas"
+                                     and k >= 2):
+            # an explicit request must not silently run something else
+            # (a pallas_ds/fp64 or XLA-backed operator has no wide path)
+            raise ValueError(
+                f"method='wide' needs a pallas fp32/bf16 operator and "
+                f"k >= 2 (backend={self.plan.backend}, k={k}); use "
+                f"method='auto' for the per-column fallback")
         if method == "wide" and self.plan.backend == "pallas" and k >= 2:
             from merge_spmv_tpu.ops.csrmm_pallas import (
                 csrmm_wide_prepared, make_mm_plan, prepare_csrmm)
@@ -131,6 +139,12 @@ class SpmvOperator:
                                          self.col_indices, meta=meta_mm)
                 self._mm_cache[key] = (plan, prep)
             plan, prep = self._mm_cache[key]
+            if prep is None:
+                import warnings
+                warnings.warn(
+                    "method='wide' requested but the mm planner routed "
+                    f"this shape to {plan.backend}; running the "
+                    "per-column fallback", stacklevel=2)
             if prep is not None:
                 outs = []
                 for c0 in range(0, k, 128):

@@ -95,3 +95,21 @@ def test_operator_mm_routes_wide():
     assert hasattr(op, "_mm_cache") and len(op._mm_cache) == 1
     assert_allclose_ulp(np.asarray(Y), csr.spmm_gold(X),
                         context="operator_mm")
+
+
+def test_operator_mm_wide_explicit_request_errors():
+    """An explicit method='wide' on an operator without a wide path must
+    raise, never silently run something else (round-2 verdict: a
+    pallas_ds operator fell through to the column loop with no signal)."""
+    import pytest
+
+    from merge_spmv_tpu.ops.operator import build_operator
+
+    csr = CsrMatrix.from_coo(CASES["powerlaw_k16"][0]()).astype(np.float32)
+    op = build_operator(csr, dtype="float32", backend="xla")
+    X = np.ones((csr.num_cols, 8), np.float32)
+    with pytest.raises(ValueError, match="wide"):
+        op.mm(jnp.asarray(X), interpret=INTERPRET, method="wide")
+    op2 = build_operator(csr, dtype="float32", backend="pallas")
+    with pytest.raises(ValueError, match="k >= 2"):
+        op2.mm(jnp.asarray(X[:, :1]), interpret=INTERPRET, method="wide")
