@@ -134,7 +134,7 @@ def _spmv_kernel(
     meta_k: int, meta_gran: int, row_span: int, row_meta_k: int,
     has_ybase: bool, y_vmem: bool, y_pad: int, x_win: int,
     runtime_skip: bool = False, skip_cb: int = 8, skip_gq: int = 4,
-    debug_skip: str = "",
+    gather_group: int = 1, debug_skip: str = "",
 ):
     if row_meta_k:
         rowmeta_ref, rest = rest[0], rest[1:]
@@ -317,12 +317,40 @@ def _spmv_kernel(
             0, (meta_ref[r] + WU - 1) // WU, wbody,
             jnp.zeros((SUBLANES, LANES), jnp.float32))
 
+    def _gather_group_blocks(g):
+        """xg for gather_group consecutive blocks via their union window
+        list: ONE dynamic fetch + broadcast serves the whole group (the
+        fetch dominates the per-visit cost; consecutive blocks share
+        ~90 % of their windows on column-local matrices, so the union
+        width grows only by the per-block window slide)."""
+        G = gather_group
+        r0 = g * G
+        nb = min(G, BPT - r0)
+        cols_g = cols2[r0 * SUBLANES:(r0 + nb) * SUBLANES]
+        if "gather" in debug_skip:
+            return cols_g.astype(jnp.float32)
+        l_g = cols_g & (SUBCHUNK - 1)
+        sc_g = cols_g >> 7
+        xg = jnp.zeros((nb * SUBLANES, LANES), jnp.float32)
+        for k in range(K):
+            s = meta_ref[g * K + k]          # -1 sentinel: never matches
+            row = x_rows(jnp.maximum(s, 0), 1)
+            src = jnp.broadcast_to(row, xg.shape)
+            gv = jnp.take_along_axis(src, l_g, axis=1)
+            xg = jnp.where(sc_g == s, gv, xg)
+        return xg
+
     if not runtime_skip:
         # --- monolithic products (uniform shapes): one concatenated
         # gather, one block-local cumsum pass, one store — keeps the
         # whole phase fusable with no branch boundaries ---------------- #
-        xg_all = jnp.concatenate([_gather_block(r) for r in range(BPT)],
-                                 axis=0)
+        if meta_mode == "glist":
+            NG = -(-BPT // gather_group)
+            xg_all = jnp.concatenate(
+                [_gather_group_blocks(g) for g in range(NG)], axis=0)
+        else:
+            xg_all = jnp.concatenate(
+                [_gather_block(r) for r in range(BPT)], axis=0)
         flat = _flat_iota((TE // LANES, LANES))
         item_mask = (flat >= sh_n) & (flat < items_end)
         p = jnp.where(item_mask, vals2 * xg_all, 0.0)
@@ -767,9 +795,16 @@ def _csrmv_pallas_core(plan: SpmvPlan, values_p, cols_p, rowends_p,
     # are incompatible)
     K = max(1, plan.meta_k) if meta_is_list else 1
     meta_mode = "list" if meta_is_list else "range"
+    G = plan.gather_group if meta_is_list else 1
     meta_gran = plan.meta_gran
     has_ybase = y_base_p is not None
-    W = meta_width(T, K)
+    if G > 1:
+        # grouped union lists: K is the union width K_G, packed per group
+        meta_mode = "glist"
+        from merge_spmv_tpu.ops.gather_plan import gmeta_width
+        W = gmeta_width(T, K, G)
+    else:
+        W = meta_width(T, K)
 
     x_packed = _pack_x(x_scaled, num_sub)
 
@@ -823,7 +858,7 @@ def _csrmv_pallas_core(plan: SpmvPlan, values_p, cols_p, rowends_p,
 
     kernel = functools.partial(
         _spmv_kernel, tile_items=T, r_win=R, num_rows=plan.num_rows,
-        meta_mode=meta_mode, meta_k=K,
+        meta_mode=meta_mode, meta_k=K, gather_group=G,
         meta_gran=meta_gran,
         row_span=plan.row_span if plan.row_span else BPT,
         row_meta_k=row_meta_k,

@@ -87,6 +87,82 @@ def gather_meta_np(col_indices, num_nonzeros: int, pad_blocks: int = 0,
     return cnt, lst
 
 
+def gather_meta_group_np(col_indices, num_nonzeros: int, group_blocks: int,
+                         pad_blocks: int = 0, k_cap: int | None = None,
+                         shift: int = 7):
+    """Sliding union gather lists over ``group_blocks`` consecutive blocks.
+
+    glst[b] holds the distinct windows of blocks [b, b + group_blocks)
+    for EVERY aligned 1024-nnz block start b — overlapping on purpose, so
+    a tile whose first block is any 1024-aligned position can address the
+    union list of each of its block groups directly.
+
+    Motivation (grid3d100 measured): consecutive blocks share ~90 % of
+    their window lists (a block advances the column window by ~1.1
+    subchunks), and the per-visit cost is dominated by the dynamic
+    sublane fetch + broadcast, which a group visit issues ONCE for
+    group_blocks blocks.  The union width K_G grows only by the slide
+    (~1 per extra block), so group visits cut the fetch count by ~G while
+    the select work stays proportional to real matches.
+
+    Returns (cnt, glst) shaped like gather_meta_np's output (cnt[b] =
+    distinct count of group b, -1-padded lists), or None past ``k_cap``.
+    """
+    cols = np.asarray(col_indices[:num_nonzeros], dtype=np.int64)
+    nb = max(1, -(-num_nonzeros // BLOCK))
+    sc = _pad_blocks(cols >> shift, nb).astype(np.int32)
+    # pad group_blocks - 1 trailing blocks (repeat last id: no new window)
+    tailpad = np.broadcast_to(sc[-1:, -1:],
+                              (group_blocks - 1, BLOCK)).astype(np.int32)
+    sc_ext = np.concatenate([sc, tailpad])
+    sw = np.lib.stride_tricks.sliding_window_view
+    grp = np.ascontiguousarray(
+        sw(sc_ext, (group_blocks, BLOCK)).reshape(
+            nb, group_blocks * BLOCK))
+    grp.sort(axis=1)
+    first = np.ones_like(grp, dtype=bool)
+    first[:, 1:] = grp[:, 1:] != grp[:, :-1]
+    cnt = first.sum(axis=1).astype(np.int32)
+    k = int(cnt.max()) if num_nonzeros else 1
+    if k_cap is not None and k > k_cap:
+        return None
+    lst = np.full((nb, k), -1, dtype=np.int32)
+    rows, colpos = np.nonzero(first)
+    dest = (np.cumsum(first.ravel()).reshape(first.shape) - 1
+            - np.concatenate([[0], np.cumsum(cnt)[:-1]])[:, None])
+    lst[rows, dest[first]] = grp[first]
+    if pad_blocks:
+        cnt = np.concatenate([cnt, np.zeros(pad_blocks, np.int32)])
+        lst = np.concatenate([lst, np.full((pad_blocks, k), -1, np.int32)])
+    return cnt, lst
+
+
+def gmeta_width(tile_items: int, k: int, group_blocks: int) -> int:
+    """Width of one tile's packed group-gather record (1024-padded)."""
+    bpt = (tile_items + BLOCK) // BLOCK
+    ng = -(-bpt // group_blocks)
+    return -(-(ng * k) // 1024) * 1024
+
+
+def pack_tile_gmeta_np(glst, tile_nnz, tile_items: int,
+                       group_blocks: int) -> np.ndarray:
+    """Pack per-group union lists into the flat per-tile SMEM layout:
+    [grp_0_0..grp_0_{K-1}, grp_1_0, ...] for the tile's NG groups, padded
+    to a 1024 multiple.  Group g of a tile starting at aligned block b0
+    uses the global sliding list at b0 + g*group_blocks."""
+    k = glst.shape[1]
+    bpt = (tile_items + BLOCK) // BLOCK
+    ng = -(-bpt // group_blocks)
+    w = gmeta_width(tile_items, k, group_blocks)
+    num_tiles = len(tile_nnz) - 1
+    b0 = (np.asarray(tile_nnz[:-1], np.int64) // BLOCK)
+    idx = np.minimum(b0[:, None] + np.arange(ng) * group_blocks,
+                     len(glst) - 1)
+    meta = np.full((num_tiles, w), -1, np.int32)
+    meta[:, :ng * k] = glst[idx].reshape(num_tiles, ng * k)
+    return meta.ravel()
+
+
 def gather_meta_range(cols_padded, num_nonzeros: int, num_blocks: int,
                       shift: int = 10):
     """Device (jit-traceable) range metadata: cnt[b] = hi-lo+1, lst[b,0]=lo.

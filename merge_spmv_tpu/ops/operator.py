@@ -180,14 +180,25 @@ def _build_packed_meta(plan: SpmvPlan, row_end_offsets_np, col_indices_np):
     if not plan.meta_k:
         return None
     bpt = (plan.tile_items + 1024) // 1024 + 1
-    cnt, lst = gather_meta_np(col_indices_np, plan.num_nonzeros,
-                              pad_blocks=bpt,
-                              shift=10 if plan.meta_gran == 1024 else 7)
-    assert lst.shape[1] == plan.meta_k
     _, tile_nnz = merge_tile_coordinates_np(
         row_end_offsets_np, plan.num_nonzeros, plan.tile_items)
-    meta = jnp.asarray(pack_tile_meta_np(cnt, lst, tile_nnz,
-                                         plan.tile_items))
+    if plan.gather_group > 1:
+        from merge_spmv_tpu.ops.gather_plan import (gather_meta_group_np,
+                                                    pack_tile_gmeta_np)
+        _, glst = gather_meta_group_np(col_indices_np, plan.num_nonzeros,
+                                       plan.gather_group, pad_blocks=bpt,
+                                       shift=7)
+        assert glst.shape[1] == plan.meta_k
+        meta = jnp.asarray(pack_tile_gmeta_np(glst, tile_nnz,
+                                              plan.tile_items,
+                                              plan.gather_group))
+    else:
+        cnt, lst = gather_meta_np(col_indices_np, plan.num_nonzeros,
+                                  pad_blocks=bpt,
+                                  shift=10 if plan.meta_gran == 1024 else 7)
+        assert lst.shape[1] == plan.meta_k
+        meta = jnp.asarray(pack_tile_meta_np(cnt, lst, tile_nnz,
+                                             plan.tile_items))
     if plan.x_win:
         from merge_spmv_tpu.ops.gather_plan import tile_col_meta_np
         cbase, _ = tile_col_meta_np(col_indices_np, plan.num_nonzeros,
@@ -199,7 +210,8 @@ def _build_packed_meta(plan: SpmvPlan, row_end_offsets_np, col_indices_np):
 def build_operator(csr, dtype="float32", backend: str = "auto",
                    tile_items: Optional[int] = None,
                    autotune: bool = False,
-                   runtime_skip: Optional[bool] = None) -> SpmvOperator:
+                   runtime_skip: Optional[bool] = None,
+                   gather_group: int = 1) -> SpmvOperator:
     """Build the operator from a host CsrMatrix (formats/csr.py).
 
     Computes the gather plan on the host (one pass over col_indices) and
@@ -218,7 +230,8 @@ def build_operator(csr, dtype="float32", backend: str = "auto",
                      dtype=dtype, tile_items=tile_items, backend=backend,
                      row_end_offsets=csr.row_offsets[1:],
                      col_indices=csr.col_indices,
-                     runtime_skip=runtime_skip)
+                     runtime_skip=runtime_skip,
+                     gather_group=gather_group)
     values, rowends, cols = csr.to_device(dtype=plan.dtype)
     meta = None
     if plan.backend in ("pallas", "pallas_ds"):

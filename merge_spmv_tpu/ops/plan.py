@@ -79,6 +79,10 @@ class SpmvPlan:
     skip_gq: int = 4           # skip mode: 1024-row groups per row-phase branch
     row_meta_k: int = 0        # distinct-chunk row-phase lists width
                                # (0 = range walk; see gather_plan.row_meta_np)
+    gather_group: int = 1      # blocks per gather-group visit (>1: union
+                               # window lists shared by G consecutive
+                               # blocks amortize the dynamic fetch; then
+                               # meta_k holds the union width K_G)
 
     @property
     def num_merge_items(self) -> int:
@@ -112,7 +116,8 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
               meta_k: Optional[int] = None,
               row_end_offsets=None, col_indices=None,
               allow_x_streaming: bool = True,
-              runtime_skip: Optional[bool] = None) -> SpmvPlan:
+              runtime_skip: Optional[bool] = None,
+              gather_group: int = 1) -> SpmvPlan:
     """Build an execution plan (phase 1 of the two-phase contract).
 
     backend="auto" picks the Pallas merge kernel when the platform supports
@@ -225,20 +230,6 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
         if x_win == 0 and resolved in ("pallas", "pallas_ds"):
             resolved = "xla"   # x neither resident nor windowable
 
-    if meta_k is None:
-        if col_indices is not None:
-            from merge_spmv_tpu.ops.gather_plan import gather_meta_np
-            meta = gather_meta_np(col_indices, num_nonzeros,
-                                  k_cap=_K_CAP_FINE, shift=7)
-            if meta is None:
-                meta_gran = 1024
-                meta = gather_meta_np(col_indices, num_nonzeros,
-                                      k_cap=_K_CAP_COARSE, shift=10)
-            meta_k = 0 if meta is None else meta[1].shape[1]
-        else:
-            meta_k = 0
-            meta_gran = 1024
-
     # Runtime skipping (branchy kernel): worth it only when the static
     # shapes are much larger than the mean per-tile work — i.e. skewed
     # row lengths force r_win (max rows/tile) or the item window far past
@@ -252,6 +243,37 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
     # explicit override (autotune sweeps this knob; the 0.5 thresholds
     # above decided a measured 2x swing in round 2)
     runtime_skip = rs_auto if runtime_skip is None else bool(runtime_skip)
+    if runtime_skip:
+        gather_group = 1   # the skip path branches at per-block chunks
+
+    if meta_k is None:
+        if col_indices is not None:
+            from merge_spmv_tpu.ops.gather_plan import (gather_meta_group_np,
+                                                        gather_meta_np)
+            meta = None
+            if gather_group > 1:
+                # grouped union lists: G consecutive blocks share one
+                # visit list, amortizing the dynamic fetch + broadcast
+                # (the dominant per-visit cost); cap scales with G since
+                # the union grows by the window slide per extra block
+                meta = gather_meta_group_np(
+                    col_indices, num_nonzeros, gather_group,
+                    k_cap=_K_CAP_FINE + 2 * gather_group, shift=7)
+                if meta is None:
+                    gather_group = 1
+            if meta is None:
+                meta = gather_meta_np(col_indices, num_nonzeros,
+                                      k_cap=_K_CAP_FINE, shift=7)
+            if meta is None:
+                meta_gran = 1024
+                meta = gather_meta_np(col_indices, num_nonzeros,
+                                      k_cap=_K_CAP_COARSE, shift=10)
+            meta_k = 0 if meta is None else meta[1].shape[1]
+        else:
+            meta_k = 0
+            meta_gran = 1024
+    if meta_k == 0 or meta_gran != 128:
+        gather_group = 1
 
     return SpmvPlan(
         num_rows=int(num_rows),
@@ -271,4 +293,5 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
         x_win=int(x_win),
         runtime_skip=bool(runtime_skip),
         row_meta_k=int(row_meta_k),
+        gather_group=int(gather_group),
     )

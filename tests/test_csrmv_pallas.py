@@ -231,3 +231,55 @@ def test_x_window_streaming():
     # device range fallback (no host metadata)
     y2 = csrmv_pallas(plan, v, re_, ci, jnp.asarray(x), interpret=INTERPRET)
     assert_allclose_ulp(np.asarray(y2), gold, context="x_window_range")
+
+
+@pytest.mark.parametrize("name", ["grid2d", "powerlaw", "multi_chunk_cols",
+                                  "wheel_hub_spans_tiles"])
+def test_gather_group_operator_matches_gold(name):
+    """gather_group > 1: union window lists shared by G consecutive
+    blocks (the fetch-amortizing products path) must reproduce gold."""
+    from merge_spmv_tpu.ops.operator import build_operator
+
+    csr = CsrMatrix.from_coo(CASES[name]()).astype(np.float32)
+    rs = np.random.RandomState(7)
+    csr.values = rs.uniform(0.1, 1, csr.num_nonzeros).astype(np.float32)
+    x = rs.uniform(0.1, 1, csr.num_cols).astype(np.float32)
+    op = build_operator(csr, dtype="float32", backend="pallas",
+                        tile_items=2048, gather_group=4,
+                        runtime_skip=False)
+    if op.plan.gather_group == 1:
+        pytest.skip("group meta not viable for this shape (K_G cap)")
+    assert op.plan.meta_k > 0
+    y = op(jnp.asarray(x), interpret=INTERPRET)
+    assert_allclose_ulp(np.asarray(y), csr.spmv_gold(x),
+                        context=f"gather_group:{name}")
+
+
+def test_gather_group_streamed_x():
+    """Group gather composed with per-tile x-window streaming."""
+    from merge_spmv_tpu.ops.operator import build_operator
+    from merge_spmv_tpu.ops import plan as plan_mod
+
+    rs = np.random.RandomState(12)
+    n = 20000
+    rows = np.repeat(np.arange(n, dtype=np.int64), 4)
+    cols = np.clip(rows + rs.randint(-300, 300, rows.size), 0, n - 1)
+    csr = CsrMatrix.from_coo(CooMatrix(n, n, rows, cols,
+                                       rs.uniform(0.1, 1, rows.size))
+                             ).astype(np.float32)
+    from merge_spmv_tpu.ops.plan import make_plan as mp
+    plan = mp(csr.num_rows, csr.num_cols, csr.num_nonzeros,
+              dtype="float32", backend="pallas", tile_items=2048,
+              vmem_bytes=128 * 1024, gather_group=4, runtime_skip=False,
+              row_end_offsets=csr.row_offsets[1:],
+              col_indices=csr.col_indices)
+    if plan.gather_group == 1 or plan.x_win == 0:
+        pytest.skip("shape did not produce a streamed group plan")
+    from merge_spmv_tpu.ops.operator import SpmvOperator, _build_packed_meta
+    meta = _build_packed_meta(plan, csr.row_offsets[1:], csr.col_indices)
+    v, re_, ci = csr.to_device(dtype=np.float32)
+    op = SpmvOperator(plan, v, re_, ci, meta=meta)
+    x = rs.uniform(0.1, 1, n).astype(np.float32)
+    y = op(jnp.asarray(x), interpret=INTERPRET)
+    assert_allclose_ulp(np.asarray(y), csr.spmv_gold(x),
+                        context="gather_group_streamed")
