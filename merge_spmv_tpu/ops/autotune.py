@@ -64,7 +64,8 @@ def _store(key: str, entry: dict):
             pass
 
 
-def _time_operator(csr, dtype, tile_items, runtime_skip=None, n=12, reps=3):
+def _time_operator(csr, dtype, tile_items, runtime_skip=None,
+                   gather_group=1, n=12, reps=3):
     """Chained-dependent timing (tunnel-safe; see utils/timers)."""
     import time
 
@@ -75,7 +76,8 @@ def _time_operator(csr, dtype, tile_items, runtime_skip=None, n=12, reps=3):
     from merge_spmv_tpu.ops.operator import build_operator
 
     op = build_operator(csr, dtype=dtype, tile_items=tile_items,
-                        runtime_skip=runtime_skip)
+                        runtime_skip=runtime_skip,
+                        gather_group=gather_group)
     x0 = jnp.ones((csr.num_cols,), jnp.float32)
     ncols = csr.num_cols
 
@@ -112,14 +114,16 @@ def autotune_plan(csr, dtype="float32", candidates=DEFAULT_CANDIDATES,
                   verbose: bool = False) -> dict:
     """Best knob TUPLE for this matrix's shape class (cached).
 
-    Sweeps tile_items x runtime_skip (the two knobs with measured >=2x
-    swings — branch boundaries cost ~2x on uniform shapes while skipping
-    wins on skewed ones, NOTES.md).  The heuristic's own choice is timed
-    first and alternatives must beat it; the cache entry carries the full
-    tuple, the analog of one reference policy line
+    Sweeps tile_items x runtime_skip x gather_group (branch boundaries
+    cost ~2x on uniform shapes while skipping wins on skewed ones; group
+    visits amortize the dominant per-visit fetch on column-local shapes,
+    NOTES.md).  The heuristic's own choice is timed first and
+    alternatives must beat it; the cache entry carries the full tuple,
+    the analog of one reference policy line
     (dispatch_spmv_orig.cuh:262-445).
 
-    Returns {"tile_items": int, "runtime_skip": bool | None}.
+    Returns {"tile_items": int, "runtime_skip": bool | None,
+    "gather_group": int}.
     """
     from merge_spmv_tpu.ops.plan import make_plan
 
@@ -131,8 +135,10 @@ def autotune_plan(csr, dtype="float32", candidates=DEFAULT_CANDIDATES,
     cached = _load_cache().get(key)
     if cached:
         return {"tile_items": int(cached["tile_items"]),
-                "runtime_skip": cached.get("runtime_skip")}
-    default = {"tile_items": probe.tile_items, "runtime_skip": None}
+                "runtime_skip": cached.get("runtime_skip"),
+                "gather_group": int(cached.get("gather_group", 1))}
+    default = {"tile_items": probe.tile_items, "runtime_skip": None,
+               "gather_group": 1}
     if probe.backend not in ("pallas", "pallas_ds"):
         return default
 
@@ -146,7 +152,7 @@ def autotune_plan(csr, dtype="float32", candidates=DEFAULT_CANDIDATES,
                 continue
             try:
                 ms = _time_operator(csr, dtype, cand, runtime_skip=rskip)
-                results[(cand, rskip)] = ms
+                results[(cand, rskip, 1)] = ms
                 if verbose:
                     print(f"  autotune {key}: T={cand} skip={rskip}: "
                           f"{ms:.4f} ms", flush=True)
@@ -154,14 +160,31 @@ def autotune_plan(csr, dtype="float32", candidates=DEFAULT_CANDIDATES,
                 if verbose:
                     print(f"  autotune {key}: T={cand} skip={rskip} "
                           f"failed: {e}", flush=True)
+    # group-gather candidates at the heuristic tile size (fine-list
+    # non-skip plans only; the plan demotes the knob when not viable)
+    if probe.meta_k and probe.meta_gran == 128 and not probe.runtime_skip:
+        for g in (4, 8):
+            try:
+                ms = _time_operator(csr, dtype, probe.tile_items,
+                                    gather_group=g)
+                results[(probe.tile_items, None, g)] = ms
+                if verbose:
+                    print(f"  autotune {key}: T={probe.tile_items} "
+                          f"G={g}: {ms:.4f} ms", flush=True)
+            except Exception as e:  # noqa: BLE001
+                if verbose:
+                    print(f"  autotune {key}: G={g} failed: {e}",
+                          flush=True)
     if not results:
         return default
     best = min(results, key=results.get)
     entry = {"tile_items": int(best[0]), "runtime_skip": best[1],
-             "ms": {f"T{c}_skip{r}": round(v, 4)
-                    for (c, r), v in results.items()}}
+             "gather_group": int(best[2]),
+             "ms": {f"T{c}_skip{r}_G{g}": round(v, 4)
+                    for (c, r, g), v in results.items()}}
     _store(key, entry)
-    return {"tile_items": int(best[0]), "runtime_skip": best[1]}
+    return {"tile_items": int(best[0]), "runtime_skip": best[1],
+            "gather_group": int(best[2])}
 
 
 def autotune_tile_items(csr, dtype="float32",

@@ -226,6 +226,8 @@ def build_operator(csr, dtype="float32", backend: str = "auto",
         tile_items = knobs["tile_items"]
         if runtime_skip is None:
             runtime_skip = knobs["runtime_skip"]
+        if gather_group == 1:
+            gather_group = knobs.get("gather_group", 1)
     plan = make_plan(csr.num_rows, csr.num_cols, csr.num_nonzeros,
                      dtype=dtype, tile_items=tile_items, backend=backend,
                      row_end_offsets=csr.row_offsets[1:],
