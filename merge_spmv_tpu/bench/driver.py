@@ -145,9 +145,21 @@ def _bench_device_backend(backend, csr, x, gold, args, abs_bound=None):
     # double-single pallas_ds kernel (make_plan policy) instead of
     # silently timing the fp32 kernel.
     prep_t = Timer().start()
-    op = build_operator(csr, dtype=csr.values.dtype,
-                        backend="auto" if backend == "merge" else "xla",
-                        tile_items=args.get("tile_items"))
+    if backend == "split":
+        from merge_spmv_tpu.ops.split import build_split_operator
+        nb = args.get("split")
+        op = build_split_operator(
+            csr, dtype=csr.values.dtype,
+            edges_chunks="quantile" if isinstance(nb, int) and nb > 1
+            else (8, 32),
+            num_bands=nb if isinstance(nb, int) and nb > 1 else 5,
+            tile_items=args.get("tile_items"))
+    else:
+        op = build_operator(csr, dtype=csr.values.dtype,
+                            backend="auto" if backend == "merge" else "xla",
+                            tile_items=args.get("tile_items"),
+                            autotune=bool(args.get("autotune")),
+                            gather_group=args.get("gather_group", 1))
     prep_t.stop()
     if backend == "merge" and op.plan.backend == "xla" and not quiet:
         print("(plan fell back to xla) ", end="", flush=True)
@@ -170,8 +182,23 @@ def _bench_device_backend(backend, csr, x, gold, args, abs_bound=None):
     if beta == 0.0 and alpha == 1.0:
         # arrays-as-arguments step: a jit closure would embed the matrix
         # in the remote-compile payload (HTTP 413 at circuit5M scale)
-        from merge_spmv_tpu.utils.timers import operator_step_fn
-        step = operator_step_fn(op)
+        if backend == "split":
+            if getattr(op.op, "_prep", None) is not None:
+                from merge_spmv_tpu.utils.timers import (
+                    split_operator_step_fn)
+                step = split_operator_step_fn(op)
+            else:
+                # stacked plan fell back to XLA (off-TPU): generic step
+                def step(xc, _op=op):
+                    y = _op(xc).astype(xc.dtype)
+                    if csr.num_rows >= csr.num_cols:
+                        return xc + y[:csr.num_cols] * 1e-20
+                    return xc + jnp.pad(
+                        y, (0, csr.num_cols - csr.num_rows)) * 1e-20
+                step = jax.jit(step)
+        else:
+            from merge_spmv_tpu.utils.timers import operator_step_fn
+            step = operator_step_fn(op)
     else:
         def step(xc):
             # every element of xc depends on yc so no step can be elided
@@ -304,7 +331,7 @@ def run_benchmark(args) -> dict:
             print(f"\n{_display_name(backend)}, ", end="", flush=True)
         else:
             print(f"{_display_name(backend)}, ", end="", flush=True)
-        if backend in ("merge", "xla"):
+        if backend in ("merge", "xla", "split"):
             r = _bench_device_backend(backend, csr, x, gold, args, abs_bound)
         elif backend == "scipy":
             r = _bench_scipy(csr, x, gold, args, abs_bound)
@@ -317,7 +344,8 @@ def run_benchmark(args) -> dict:
             continue
         results[backend] = display_perf(
             backend, r.setup_ms, r.avg_ms, csr, vb, quiet=quiet,
-            peak_gbps=peak if backend in ("merge", "xla") else None)
+            peak_gbps=peak if backend in ("merge", "xla", "split")
+            else None)
         results[backend]["verified"] = r.verified
     print()
     return results
@@ -325,5 +353,5 @@ def run_benchmark(args) -> dict:
 
 def _display_name(backend):
     return {"merge": "Merge CsrMV (pallas)", "xla": "XLA CsrMV",
-            "scipy": "SciPy CsrMV", "torch": "Torch CsrMV"}.get(backend,
-                                                                backend)
+            "scipy": "SciPy CsrMV", "torch": "Torch CsrMV",
+            "split": "Banded-split CsrMV (stacked)"}.get(backend, backend)

@@ -15,8 +15,16 @@ Options:
     --i=<timing iterations>          default: adaptive 16G-nnz rule
     --quiet                          CSV output for corpus sweeps
     --v / --v2                       verbose / dump matrix
-    --backends=merge,xla,scipy,torch comma list (default scipy,xla,merge)
+    --backends=merge,xla,scipy,torch comma list (default scipy,xla,merge);
+                                     "split" adds the banded-split
+                                     stacked operator (ops/split.py)
     --tile-items=<n>                 merge items per Pallas tile
+    --gather-group=<n>               blocks per gather-group visit (>1:
+                                     fetch-amortized union window lists)
+    --split=<n>                      quantile band count for the split
+                                     backend (flag alone: geometric 8,32)
+    --autotune                       sweep the knob tuple once per shape
+                                     class (persistent cache)
     --seed=<n>                       generator seed
 """
 

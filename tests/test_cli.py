@@ -84,10 +84,11 @@ def test_driver_merge_resolves_through_auto(monkeypatch):
     seen = {}
     real = op_mod.build_operator
 
-    def spy(csr, dtype="float32", backend="auto", tile_items=None):
+    def spy(csr, dtype="float32", backend="auto", tile_items=None,
+            **kw):
         seen["backend"] = backend
         return real(csr, dtype=dtype, backend=backend,
-                    tile_items=tile_items)
+                    tile_items=tile_items, **kw)
 
     monkeypatch.setattr(op_mod, "build_operator", spy)
     results, _ = _run({"grid2d": 16, "fp32": True, "quiet": True,
@@ -108,3 +109,10 @@ def test_fp64_auto_routes_to_pallas_ds(monkeypatch):
     assert plan.backend == "pallas_ds"
     plan32 = make_plan(100, 100, 700, dtype=np.float32, backend="auto")
     assert plan32.backend == "pallas"
+
+
+def test_cli_split_backend_runs():
+    """--backends=split drives the stacked banded operator end to end."""
+    results, _ = _run({"uniform": 600, "fp32": True, "quiet": True,
+                       "backends": ["split"], "split": 3, "i": 3})
+    assert results["split"]["verified"]
