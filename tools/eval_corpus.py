@@ -20,6 +20,24 @@ HEADER = ("dataset, num_rows, num_cols, num_nonzeros, row_length_mean, "
           "backend, setup_ms, avg_ms, gflops, effective_GBs")
 
 
+def device_ready(timeout: int = 120) -> bool:
+    """Preflight: can a fresh process see the accelerator?
+
+    The relayed device can be down for stretches (minutes to hours); a
+    sweep row started during an outage burns its full per-matrix timeout
+    and records a spurious TIMEOUT (the round-2 corpus artifact's
+    probe_array/probe_skew rows).  This probes in a subprocess (a hung
+    in-process client would poison the parent) before each row."""
+    code = ("import jax; d=jax.devices(); "
+            "raise SystemExit(0 if d else 1)")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, timeout=timeout)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main(argv=None):
     from merge_spmv_tpu.utils.hostmem import enable_warm_heap
     enable_warm_heap()   # warm-page reuse for plan-time numpy
@@ -29,6 +47,9 @@ def main(argv=None):
     ap.add_argument("--out", default=None)
     ap.add_argument("--backends", default="merge")
     ap.add_argument("--timeout", type=int, default=900)
+    ap.add_argument("--wait-device", type=int, default=3600,
+                    help="max seconds to wait for the device to come "
+                         "back before a row (0 disables the preflight)")
     args = ap.parse_args(argv)
 
     files = sorted(glob.glob(os.path.join(args.mtx_dir, "*.mtx")))
@@ -58,6 +79,14 @@ def main(argv=None):
                f"--backends={args.backends}"]
         if args.fp64:
             cmd.append("--fp64")
+        if args.wait_device:
+            import time as _time
+            waited = 0
+            while not device_ready() and waited < args.wait_device:
+                print(f"# device unreachable; waiting ({waited}s)",
+                      file=sys.stderr, flush=True)
+                _time.sleep(60)
+                waited += 180
         status = None
         for attempt in range(2):
             # one retry: remote-tunnel runs are ~5-10 % flaky (device
