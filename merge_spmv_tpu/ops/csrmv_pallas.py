@@ -134,7 +134,7 @@ def _spmv_kernel(
     meta_k: int, meta_gran: int, row_span: int, row_meta_k: int,
     has_ybase: bool, y_vmem: bool, y_pad: int, x_win: int,
     runtime_skip: bool = False, skip_cb: int = 8, skip_gq: int = 4,
-    gather_group: int = 1, debug_skip: str = "",
+    gather_group: int = 1, rowends_vmem: bool = False, debug_skip: str = "",
 ):
     if row_meta_k:
         rowmeta_ref, rest = rest[0], rest[1:]
@@ -163,10 +163,11 @@ def _spmv_kernel(
                                    sems.at[0, s]),
              pltpu.make_async_copy(cols_hbm.at[pl.ds(annz0, TE)],
                                    cols_s.at[pl.ds(s * TE, TE)],
-                                   sems.at[1, s]),
-             pltpu.make_async_copy(rowends_hbm.at[pl.ds(arow0, R)],
-                                   rowends_s.at[pl.ds(s * R, R)],
-                                   sems.at[2, s])]
+                                   sems.at[1, s])]
+        if not rowends_vmem:
+            d.append(pltpu.make_async_copy(rowends_hbm.at[pl.ds(arow0, R)],
+                                           rowends_s.at[pl.ds(s * R, R)],
+                                           sems.at[2, s]))
         if has_ybase and not y_vmem:
             d.append(pltpu.make_async_copy(ybase_hbm.at[pl.ds(arow0, R)],
                                            ybase_s.at[pl.ds(s * R, R)],
@@ -207,6 +208,14 @@ def _spmv_kernel(
             dma_x = pltpu.make_async_copy(x_ref, xwin_s, xsems.at[0])
             dma_x.start()
             dma_x.wait()
+        if rowends_vmem:
+            # Resident row-ends (headline class): one staging DMA replaces
+            # the per-step row-end stream — values + columns are the only
+            # arrays still streamed per tile.
+            dma_re = pltpu.make_async_copy(rowends_hbm.at[pl.ds(0, y_pad)],
+                                           rowends_s, xsems.at[1])
+            dma_re.start()
+            dma_re.wait()
         for d in in_dmas(0, 0):
             d.start()
 
@@ -453,7 +462,8 @@ def _spmv_kernel(
     # it actually completes).  Group bodies stay scalar/SMEM-free — the
     # gathered values land in scratch and the epilogue is one vectorized
     # pass (per-group SMEM chains measurably serialize the pipeline).    #
-    cur[2].wait()   # row ends
+    if not rowends_vmem:
+        cur[2].wait()   # row ends
     rows_end_w = sh_r + rows_done
     carry_in = carry_s[0]
 
@@ -513,8 +523,12 @@ def _spmv_kernel(
 
     for j in range(RB if "rows" not in debug_skip else 0):
         def _row_group(j=j):
-            rowe_j = rowends_s[pl.ds(slot * R + j * BLOCK, BLOCK)
-                               ].reshape(SUBLANES, LANES)
+            if rowends_vmem:
+                rowe_j = rowends_s[pl.ds(arow0 + j * BLOCK, BLOCK)
+                                   ].reshape(SUBLANES, LANES)
+            else:
+                rowe_j = rowends_s[pl.ds(slot * R + j * BLOCK, BLOCK)
+                                   ].reshape(SUBLANES, LANES)
             ends_rel = jnp.clip(rowe_j - nnz0, 0, nloc) + sh_n
             pj = jnp.clip(ends_rel - 1, 0, TE - 1)
             l_j = pj & (LANES - 1)
@@ -836,7 +850,8 @@ def _csrmv_pallas_core(plan: SpmvPlan, values_p, cols_p, rowends_p,
         scratch_shapes=[
             pltpu.VMEM((2 * TE,), jnp.float32),              # values windows
             pltpu.VMEM((2 * TE,), jnp.int32),                # cols windows
-            pltpu.VMEM((2 * R,), jnp.int32),                 # row-end windows
+            pltpu.VMEM((out_len if plan.rowends_vmem else 2 * R,),
+                       jnp.int32),             # row-end windows / table
             pltpu.VMEM((8 if y_vmem else 2 * R,),
                        jnp.float32),                         # y-base windows
             pltpu.VMEM((out_len if y_vmem else R,),
@@ -865,6 +880,7 @@ def _csrmv_pallas_core(plan: SpmvPlan, values_p, cols_p, rowends_p,
         has_ybase=has_ybase, y_vmem=y_vmem, y_pad=out_len,
         x_win=plan.x_win, runtime_skip=plan.runtime_skip,
         skip_cb=plan.skip_cb, skip_gq=plan.skip_gq,
+        rowends_vmem=plan.rowends_vmem,
         debug_skip=debug_skip)
 
     if y_base_p is None:

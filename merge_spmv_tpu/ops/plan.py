@@ -83,6 +83,9 @@ class SpmvPlan:
                                # window lists shared by G consecutive
                                # blocks amortize the dynamic fetch; then
                                # meta_k holds the union width K_G)
+    rowends_vmem: bool = False  # whole row-end table VMEM-resident (staged
+                                # once at t==0 like x): drops the per-step
+                                # row-end DMA — only values+columns stream
 
     @property
     def num_merge_items(self) -> int:
@@ -275,6 +278,23 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
     if meta_k == 0 or meta_gran != 128:
         gather_group = 1
 
+    # Resident row-ends (headline class): when x and y are both VMEM
+    # resident, staging the padded row-end table once leaves values +
+    # columns as the only per-step DMA streams.  Budgeted against the
+    # full working set so the compiler keeps ~1.5 MB of headroom.
+    out_len = -(-(int(num_rows) + r_win + 1024) // 1024) * 1024
+    rowends_vmem = False
+    if (resolved in ("pallas", "pallas_ds") and x_in_vmem and y_in_vmem
+            and not x_win):
+        num_sub = 8 * max(1, -(-int(num_cols) // 1024))
+        working = (num_sub * 128 * 4          # x table
+                   + out_len * 4              # y window
+                   + out_len * 4              # row-end table
+                   + 2 * (tile_items + 1024) * 8   # values+cols windows
+                   + ((tile_items + 1024) // 1024) * 4096 * 2  # cs + pref
+                   + 2 * r_win * 4)           # row stage scratch
+        rowends_vmem = working <= (vmem_bytes * 29) // 32
+
     return SpmvPlan(
         num_rows=int(num_rows),
         num_cols=int(num_cols),
@@ -294,4 +314,5 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
         runtime_skip=bool(runtime_skip),
         row_meta_k=int(row_meta_k),
         gather_group=int(gather_group),
+        rowends_vmem=bool(rowends_vmem),
     )

@@ -283,3 +283,38 @@ def test_gather_group_streamed_x():
     y = op(jnp.asarray(x), interpret=INTERPRET)
     assert_allclose_ulp(np.asarray(y), csr.spmv_gold(x),
                         context="gather_group_streamed")
+
+
+@pytest.mark.parametrize("name,tile_items",
+                         [("grid2d", 2048), ("powerlaw", 4096),
+                          ("wheel_hub_spans_tiles", 1024)])
+def test_rowends_vmem_resident(name, tile_items):
+    """Resident row-ends mode (x+y VMEM-resident plans): the whole padded
+    row-end table is staged once at t==0 and per-step row-end DMAs are
+    dropped — results must match gold, including across tile-spanning
+    rows and the skew adversary (the skip path reads the same table)."""
+    from merge_spmv_tpu.ops.operator import build_operator
+
+    csr = CsrMatrix.from_coo(CASES[name]()).astype(np.float32)
+    rs = np.random.RandomState(11)
+    csr.values = rs.uniform(0.1, 1, csr.num_nonzeros).astype(np.float32)
+    x = rs.uniform(0.1, 1, csr.num_cols).astype(np.float32)
+    op = build_operator(csr, dtype="float32", backend="pallas",
+                        tile_items=tile_items)
+    assert op.plan.rowends_vmem, "small x+y plans must stage row ends"
+    y = op(jnp.asarray(x), interpret=INTERPRET)
+    assert_allclose_ulp(np.asarray(y), csr.spmv_gold(x),
+                        context=f"rowends_vmem:{name}")
+
+
+def test_rowends_vmem_disabled_when_budget_exceeded():
+    """The resident row-end table must stay off when the working set
+    would not leave VMEM headroom (tiny budget forces the streamed
+    per-tile row-end windows)."""
+    csr = CsrMatrix.from_coo(CASES["grid2d"]()).astype(np.float32)
+    plan = make_plan(csr.num_rows, csr.num_cols, csr.num_nonzeros,
+                     backend="pallas", tile_items=2048,
+                     vmem_bytes=64 * 1024,
+                     row_end_offsets=csr.row_offsets[1:],
+                     col_indices=csr.col_indices)
+    assert not plan.rowends_vmem
