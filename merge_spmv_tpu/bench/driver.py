@@ -168,7 +168,11 @@ def _bench_device_backend(backend, csr, x, gold, args, abs_bound=None):
     jax.block_until_ready(y)
     compile_t.stop()
     if not quiet:
-        print(f"[prep {prep_t.elapsed_millis():.0f} ms, first-call "
+        br = getattr(op, "setup_s", None)
+        br_s = ("" if not br else
+                " (plan {plan:.2f}s meta {meta:.2f}s prep+upload "
+                "{prepare:.2f}s)".format(**br))
+        print(f"[prep {prep_t.elapsed_millis():.0f} ms{br_s}, first-call "
               f"{compile_t.elapsed_millis():.0f} ms] ", end="", flush=True)
     setup_ms = prep_t.elapsed_millis() + compile_t.elapsed_millis()
 

@@ -120,7 +120,8 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
               row_end_offsets=None, col_indices=None,
               allow_x_streaming: bool = True,
               runtime_skip: Optional[bool] = None,
-              gather_group: int = 1) -> SpmvPlan:
+              gather_group: int = 1,
+              scratch: Optional[dict] = None) -> SpmvPlan:
     """Build an execution plan (phase 1 of the two-phase contract).
 
     backend="auto" picks the Pallas merge kernel when the platform supports
@@ -137,6 +138,11 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
     block; see ops/gather_plan.py).  Callers that precomputed those pass
     them directly.  build_operator (ops/operator.py) does all of this and
     uploads the gather lists once per matrix.
+
+    ``scratch``, when given a dict, receives the metadata arrays the probe
+    had to construct anyway (gather lists, row-phase lists) so the
+    operator build does not pay the host passes twice — at circuit5M
+    scale each pass sorts a ~57M-element array.
     """
     dname = _dtype_name(np.dtype(dtype))
     vs = np.dtype(dname).itemsize
@@ -198,11 +204,13 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
     if row_end_offsets is not None:
         from merge_spmv_tpu.ops.gather_plan import row_meta_np, row_span_np
         row_span = row_span_np(row_end_offsets, num_nonzeros, tile_items)
-        # row-phase distinct-chunk lists (the skew fix): probe the width
-        # only — the packed array itself is built by the operator/prepare
-        # path (operator._build_packed_meta) from the same inputs
-        _, row_meta_k = row_meta_np(row_end_offsets, num_nonzeros,
-                                    tile_items, r_win)
+        # row-phase distinct-chunk lists (the skew fix): the probe has to
+        # build the full packed array to learn the width — hand it to the
+        # caller via scratch so prepare_csrmv doesn't rebuild it
+        _rm_packed, row_meta_k = row_meta_np(row_end_offsets, num_nonzeros,
+                                             tile_items, r_win)
+        if scratch is not None:
+            scratch["rowmeta"] = (_rm_packed, row_meta_k)
     else:
         row_span = 0
         row_meta_k = 0
@@ -272,6 +280,10 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
                 meta = gather_meta_np(col_indices, num_nonzeros,
                                       k_cap=_K_CAP_COARSE, shift=10)
             meta_k = 0 if meta is None else meta[1].shape[1]
+            if scratch is not None and meta is not None:
+                scratch["gmeta"] = meta             # (cnt, lst) unpadded
+                scratch["gmeta_group"] = int(gather_group)
+                scratch["gmeta_gran"] = int(meta_gran)
         else:
             meta_k = 0
             meta_gran = 1024
