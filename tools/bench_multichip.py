@@ -15,8 +15,13 @@ also times a LOCAL-ONLY variant — the identical shard_map local compute
 with every collective (halo ppermutes, carry psum_scatter) removed — on
 the same mesh and arrays.  ``collective_overhead_efficiency`` =
 T_local_only / T_full is the number item the north star targets (>=0.85
-means collectives+carries cost <=15 % of a step).  Both the raw numbers
-and the host core count are recorded.  Writes WEAKSCALING.json.
+means collectives+carries cost <=15 % of a step).  A second control,
+``fixed_total_work_efficiency``, partitions ONE constant matrix over S
+shards (total bytes/FLOPs identical at every S) — on a serializing
+1-core host T_1/T_S then has no working-set confound and directly
+reads out shard padding + collective + dispatch overhead.  Both the
+raw numbers and the host core count are recorded.
+Writes WEAKSCALING.json.
 
     JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
         python tools/bench_multichip.py
@@ -138,6 +143,45 @@ def main():
               f"{nnz_per_s/S/1e6:7.1f} Mnnz/s/shard  "
               f"x_mode={part.x_mode} verified={ok}", flush=True)
 
+    # fixed-total-work control (strong scaling): ONE constant matrix (the
+    # S=8 weak-scaling size) partitioned over S shards.  Total bytes and
+    # FLOPs are identical at every S, so on a serializing 1-core host
+    # T_1/T_S has no working-set confound — what remains IS the framework
+    # overhead (shard padding, halo ppermutes, carry psum_scatter,
+    # shard_map dispatch), the quantity the >=85 % north star targets.
+    fixed = {}
+    n_f = rows_per_shard * 8
+    rows_f = np.repeat(np.arange(n_f, dtype=np.int64), deg)
+    cols_f = np.clip(rows_f + rs.randint(-2000, 2001, rows_f.size),
+                     0, n_f - 1)
+    csr_f = CsrMatrix.from_coo(CooMatrix(
+        n_f, n_f, rows_f, cols_f, rs.uniform(0.1, 1.0, rows_f.size))
+    ).astype(np.float32)
+    x_f = rs.uniform(0.1, 1.0, n_f).astype(np.float32)
+    gold_f = csr_f.spmv_gold(x_f)
+    for S in (1, 2, 4, 8):
+        if len(jax.devices()) < S:
+            continue
+        mesh = Mesh(np.array(jax.devices()[:S]), ("shards",))
+        part = partition_csr(csr_f, S, dtype=np.float32)
+        arrays = part.to_device_sharded(mesh)
+        if part.x_mode == "halo":
+            xr = jax.device_put(jnp.asarray(part.shard_x(x_f)),
+                                NamedSharding(mesh, P("shards")))
+        else:
+            xr = jax.device_put(jnp.asarray(x_f), NamedSharding(mesh, P()))
+        fn = distributed_csrmv_fn(mesh, part, local_backend="xla")
+        y = materialize_y(fn(*arrays, xr), part)
+        ok = compare_results(y, gold_f, verbose=False) is None
+        ms = chained_ms(lambda *a: fn(*a), (*arrays, xr))
+        fixed[S] = {"avg_ms": round(ms, 3), "verified": ok,
+                    "x_mode": part.x_mode}
+        print(f"fixed-total S={S}: {ms:8.2f} ms verified={ok}", flush=True)
+    fixed_eff = {}
+    if 1 in fixed:
+        for S, r in fixed.items():
+            fixed_eff[S] = round(fixed[1]["avg_ms"] / r["avg_ms"], 3)
+
     base = results.get(1, {}).get("nnz_per_s_per_shard")
     base_ms = results.get(1, {}).get("avg_ms")
     eff = {}
@@ -164,13 +208,18 @@ def main():
         "efficiency_vs_S1": eff,
         "serialized_total_work_efficiency": eff_total,
         "collective_overhead_efficiency": eff_coll,
+        "fixed_total_work": fixed,
+        "fixed_total_work_efficiency": fixed_eff,
         "note": ("host_cpus < shards: virtual devices share the core AND "
                  "its caches, and S>1 runs an S-times-larger working set "
                  "than S=1 — both serialized metrics fold those host "
                  "effects in.  collective_overhead_efficiency is the "
                  "isolating control (same mesh/arrays, collectives "
                  "stripped): the fraction of a full step NOT spent on "
-                 "halo exchange + carry reduce-scatter"),
+                 "halo exchange + carry reduce-scatter.  "
+                 "fixed_total_work_efficiency is the confound-free "
+                 "serialized metric: one constant matrix partitioned "
+                 "over S shards, T_1/T_S"),
     }
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "WEAKSCALING.json")
