@@ -134,7 +134,8 @@ def _spmv_kernel(
     meta_k: int, meta_gran: int, row_span: int, row_meta_k: int,
     has_ybase: bool, y_vmem: bool, y_pad: int, x_win: int,
     runtime_skip: bool = False, skip_cb: int = 8, skip_gq: int = 4,
-    gather_group: int = 1, rowends_vmem: bool = False, debug_skip: str = "",
+    gather_group: int = 1, rowends_vmem: bool = False,
+    cluster_widths: tuple = (), debug_skip: str = "",
 ):
     if row_meta_k:
         rowmeta_ref, rest = rest[0], rest[1:]
@@ -277,7 +278,13 @@ def _spmv_kernel(
             # 128-col window: dynamic sublane fetch + lane gather; each
             # column matches exactly one window, so overwrite-select
             # (saves the add per visit)
-            row = x_rows(s, 1)                            # (1, 128)
+            if "dynfetch" in debug_skip:
+                # calibration variant (tools/perf_probe.py): constant-row
+                # fetch the compiler can hoist/CSE — timing isolates the
+                # dynamic-fetch share of the visit cost (output wrong)
+                row = x_rows(0, 1)
+            else:
+                row = x_rows(s, 1)                        # (1, 128)
             src = jnp.broadcast_to(row, (SUBLANES, LANES))
             g = jnp.take_along_axis(src, l_r, axis=1)
             return jnp.where(sc_r == s, g, acc)
@@ -287,6 +294,32 @@ def _spmv_kernel(
             return _cs_chunk_visit(chunkx, l_r, sc_r, c * SUBLANES, acc)
 
         visit = visit_fine if meta_gran == SUBCHUNK else visit_coarse
+        if meta_mode == "clist":
+            # cluster mode: one dynamic 8-row fetch per cluster slot; each
+            # visit serves from the fetched register via a barrel roll
+            # (pow2 sublanes: hardware rotate) — no per-visit VMEM fetch.
+            # Record layout per block: [base_c, rel_{c,0..W_c-1}] per slot.
+            recw = len(cluster_widths) + sum(cluster_widths)
+            xg = jnp.zeros((SUBLANES, LANES), jnp.float32)
+            off = r * recw
+            for c, w_c in enumerate(cluster_widths):
+                base = meta_ref[off]
+                creg = x_rows(jnp.maximum(base, 0), SUBLANES)  # (8, 128)
+                for w in range(w_c):
+                    rel = meta_ref[off + 1 + w]
+                    sid = jnp.where(rel >= 0, base + rel, -(2 ** 20))
+                    if "dynfetch" in debug_skip:
+                        rolled = creg
+                    else:
+                        rolled = pltpu.roll(
+                            creg,
+                            (SUBLANES - jnp.maximum(rel, 0)) & (SUBLANES - 1),
+                            0)
+                    src = jnp.broadcast_to(rolled[0:1], (SUBLANES, LANES))
+                    g = jnp.take_along_axis(src, l_r, axis=1)
+                    xg = jnp.where(sc_r == sid, g, xg)
+                off += 1 + w_c
+            return xg
         if meta_mode == "list":
             # static unroll: -1 sentinel visits are no-ops; dynamic
             # loops cost ~60 cycles/iteration
@@ -810,9 +843,16 @@ def _csrmv_pallas_core(plan: SpmvPlan, values_p, cols_p, rowends_p,
     K = max(1, plan.meta_k) if meta_is_list else 1
     meta_mode = "list" if meta_is_list else "range"
     G = plan.gather_group if meta_is_list else 1
+    cw = plan.cluster_widths if meta_is_list else ()
     meta_gran = plan.meta_gran
     has_ybase = y_base_p is not None
-    if G > 1:
+    if cw:
+        # cluster mode: per block, one 8-row fetch per cluster slot; visits
+        # roll the fetched register instead of re-fetching VMEM
+        meta_mode = "clist"
+        from merge_spmv_tpu.ops.gather_plan import cmeta_width
+        W = cmeta_width(T, cw)
+    elif G > 1:
         # grouped union lists: K is the union width K_G, packed per group
         meta_mode = "glist"
         from merge_spmv_tpu.ops.gather_plan import gmeta_width
@@ -874,7 +914,7 @@ def _csrmv_pallas_core(plan: SpmvPlan, values_p, cols_p, rowends_p,
     kernel = functools.partial(
         _spmv_kernel, tile_items=T, r_win=R, num_rows=plan.num_rows,
         meta_mode=meta_mode, meta_k=K, gather_group=G,
-        meta_gran=meta_gran,
+        cluster_widths=cw, meta_gran=meta_gran,
         row_span=plan.row_span if plan.row_span else BPT,
         row_meta_k=row_meta_k,
         has_ybase=has_ybase, y_vmem=y_vmem, y_pad=out_len,

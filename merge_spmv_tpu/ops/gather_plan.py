@@ -32,6 +32,7 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["gather_meta_np", "gather_meta_range", "row_window_np",
+           "cluster_meta_np", "pack_tile_cmeta_np", "cmeta_width",
            "BLOCK", "SUBCHUNK"]
 
 BLOCK = 1024     # nonzeros per gather block == one (8, 128) vector register
@@ -135,6 +136,103 @@ def gather_meta_group_np(col_indices, num_nonzeros: int, group_blocks: int,
         cnt = np.concatenate([cnt, np.zeros(pad_blocks, np.int32)])
         lst = np.concatenate([lst, np.full((pad_blocks, k), -1, np.int32)])
     return cnt, lst
+
+
+def cluster_meta_np(col_indices, num_nonzeros: int, num_sub: int,
+                    c_cap: int = 8, w_cap: int = 8, shift: int = 7,
+                    meta=None):
+    """Greedy 8-window interval cover of each block's distinct window list
+    (the "cluster" gather mode).
+
+    The fine list mode pays one dynamic sublane fetch + broadcast PER
+    VISITED WINDOW (~5 of the measured ~8 regops/visit on grid3d100).
+    Distinct windows cluster into a few contiguous runs on
+    stencil/banded/FEM matrices (grid3d100: 8.5 distinct windows in
+    exactly 3 runs per block) — so fetch 8 CONSECUTIVE window rows once
+    per cluster and serve each visit from the fetched register with a
+    dynamic barrel roll (pow2 sublanes: hardware rotate) instead of a
+    fresh VMEM fetch.
+
+    Returns (bases (nb, C), rels (nb, C, W), widths tuple(C)) int32 with
+    -1 sentinels, or None when any block needs more than ``c_cap``
+    clusters.  Clusters are sorted per block by visit count DESCENDING and
+    ``widths[c]`` is the max visit count of slot c over all blocks — the
+    kernel unrolls slot c with exactly widths[c] visit bodies, so a narrow
+    second/third cluster does not pay the widest cluster's sentinel waste.
+    Bases are pre-clamped to [0, num_sub - 8] so the kernel's 8-row fetch
+    can never run off the packed x table; rels are relative to the CLAMPED
+    base (always in [0, 8)).
+    """
+    if meta is None:
+        meta = gather_meta_np(col_indices, num_nonzeros, shift=shift)
+    cnt, lst = meta
+    nb, K = lst.shape
+    base_hi = max(0, num_sub - 8)
+    bases = np.full((nb, c_cap), -1, np.int32)
+    rels = np.full((nb, c_cap, w_cap), -1, np.int32)
+    cur_c = np.full(nb, -1, np.int64)         # current cluster index
+    cur_base = np.full(nb, -(2 ** 30), np.int64)
+    cur_w = np.zeros(nb, np.int64)            # visits used in cur cluster
+    rows = np.arange(nb)
+    for j in range(K):
+        v = lst[:, j].astype(np.int64)
+        valid = v >= 0
+        new_c = valid & ((cur_c < 0) | (v >= cur_base + 8)
+                         | (cur_w >= w_cap))
+        cur_c = cur_c + new_c
+        if int(cur_c.max(initial=-1)) >= c_cap:
+            return None
+        cur_w = np.where(new_c, 0, cur_w)
+        cur_base = np.where(new_c, np.minimum(v, base_hi), cur_base)
+        cc = np.clip(cur_c, 0, c_cap - 1)
+        bset = rows[new_c]
+        bases[bset, cc[new_c]] = cur_base[new_c]
+        rset = rows[valid]
+        rels[rset, cc[valid], cur_w[valid]] = (v - cur_base)[valid]
+        cur_w = cur_w + valid
+    c_used = int((bases >= 0).sum(axis=1).max(initial=0)) or 1
+    w_used = int((rels >= 0).sum(axis=2).max(initial=0)) or 1
+    bases = bases[:, :c_used]
+    rels = rels[:, :c_used, :w_used]
+    # sort clusters by visit count descending; per-slot width caps
+    counts = (rels >= 0).sum(axis=2)
+    order = np.argsort(-counts, axis=1, kind="stable")
+    bases = np.take_along_axis(bases, order, axis=1)
+    rels = np.take_along_axis(rels, order[:, :, None], axis=1)
+    widths = tuple(int(x) for x in
+                   np.maximum((rels >= 0).sum(axis=2).max(axis=0), 1))
+    return bases, rels, widths
+
+
+def cmeta_width(tile_items: int, widths) -> int:
+    """Width of one tile's packed cluster-gather record (1024-padded):
+    per block, for each cluster slot c: [base_c, rel_0..rel_{widths[c]-1}]."""
+    bpt = (tile_items + BLOCK) // BLOCK
+    rec = len(widths) + sum(widths)
+    return -(-(bpt * rec) // 1024) * 1024
+
+
+def pack_tile_cmeta_np(bases, rels, widths, tile_nnz,
+                       tile_items: int) -> np.ndarray:
+    """Pack cluster metadata into the flat per-tile SMEM layout: block r's
+    record is the per-slot concatenation [base_c, rel_{c,0..W_c-1}]."""
+    nb, c = bases.shape
+    bpt = (tile_items + BLOCK) // BLOCK
+    parts = []
+    for ci in range(c):
+        parts.append(bases[:, ci:ci + 1])
+        parts.append(rels[:, ci, :widths[ci]])
+    rec = np.concatenate(parts, axis=1).astype(np.int32)  # (nb, recw)
+    recw = rec.shape[1]
+    # pad blocks so kernel windows may run past the last real block
+    rec = np.concatenate([rec, np.full((bpt + 1, recw), -1, np.int32)])
+    wdt = cmeta_width(tile_items, widths)
+    num_tiles = len(tile_nnz) - 1
+    b0 = (np.asarray(tile_nnz[:-1], np.int64) // BLOCK)
+    idx = np.minimum(b0[:, None] + np.arange(bpt), len(rec) - 1)
+    meta = np.full((num_tiles, wdt), -1, np.int32)
+    meta[:, :bpt * recw] = rec[idx].reshape(num_tiles, -1)
+    return meta.ravel()
 
 
 def gmeta_width(tile_items: int, k: int, group_blocks: int) -> int:

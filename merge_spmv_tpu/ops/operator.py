@@ -201,7 +201,20 @@ def _build_packed_meta(plan: SpmvPlan, row_end_offsets_np, col_indices_np,
             and scratch.get("gmeta_gran") == plan.meta_gran
             and scratch["gmeta"][1].shape[1] == plan.meta_k):
         reuse = _pad_meta_blocks(*scratch["gmeta"], bpt)
-    if plan.gather_group > 1:
+    if plan.cluster_widths:
+        from merge_spmv_tpu.ops.gather_plan import (cluster_meta_np,
+                                                    pack_tile_cmeta_np)
+        cm = (scratch or {}).get("cmeta")
+        if cm is None or cm[2] != plan.cluster_widths:
+            num_sub_x = 8 * max(1, -(-plan.num_cols // 1024))
+            cm = cluster_meta_np(col_indices_np, plan.num_nonzeros,
+                                 num_sub_x,
+                                 meta=None if reuse is None
+                                 else (reuse[0], reuse[1]))
+        assert cm is not None and cm[2] == plan.cluster_widths
+        meta = jnp.asarray(pack_tile_cmeta_np(cm[0], cm[1], cm[2],
+                                              tile_nnz, plan.tile_items))
+    elif plan.gather_group > 1:
         from merge_spmv_tpu.ops.gather_plan import (gather_meta_group_np,
                                                     pack_tile_gmeta_np)
         if reuse is not None:
@@ -237,7 +250,8 @@ def build_operator(csr, dtype="float32", backend: str = "auto",
                    tile_items: Optional[int] = None,
                    autotune: bool = False,
                    runtime_skip: Optional[bool] = None,
-                   gather_group: int = 1) -> SpmvOperator:
+                   gather_group: int = 1,
+                   gather_cluster: bool = False) -> SpmvOperator:
     """Build the operator from a host CsrMatrix (formats/csr.py).
 
     Computes the gather plan on the host (one pass over col_indices) and
@@ -263,7 +277,8 @@ def build_operator(csr, dtype="float32", backend: str = "auto",
                      row_end_offsets=csr.row_offsets[1:],
                      col_indices=csr.col_indices,
                      runtime_skip=runtime_skip,
-                     gather_group=gather_group, scratch=scratch)
+                     gather_group=gather_group,
+                     gather_cluster=gather_cluster, scratch=scratch)
     t1 = time.perf_counter()
     meta = None
     if plan.backend in ("pallas", "pallas_ds"):

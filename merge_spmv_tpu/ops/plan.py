@@ -86,6 +86,11 @@ class SpmvPlan:
     rowends_vmem: bool = False  # whole row-end table VMEM-resident (staged
                                 # once at t==0 like x): drops the per-step
                                 # row-end DMA — only values+columns stream
+    cluster_widths: tuple = ()  # cluster-gather mode (non-empty enables):
+                                # per cluster slot, the static visit-unroll
+                                # width; one 8-row fetch per slot serves
+                                # its visits via in-register barrel rolls
+                                # (gather_plan.cluster_meta_np)
 
     @property
     def num_merge_items(self) -> int:
@@ -121,6 +126,7 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
               allow_x_streaming: bool = True,
               runtime_skip: Optional[bool] = None,
               gather_group: int = 1,
+              gather_cluster: bool = False,
               scratch: Optional[dict] = None) -> SpmvPlan:
     """Build an execution plan (phase 1 of the two-phase contract).
 
@@ -290,6 +296,24 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
     if meta_k == 0 or meta_gran != 128:
         gather_group = 1
 
+    # Cluster-gather mode (opt-in): one 8-row fetch per contiguous window
+    # cluster serves its visits from registers via barrel rolls.  Viable
+    # when x is VMEM-resident, the fine lists exist, and the cover is
+    # tight (stencil/banded/FEM shapes); degrades to the plain list
+    # otherwise.  Mutually exclusive with group mode and the skip path.
+    cluster_widths: tuple = ()
+    if (gather_cluster and x_in_vmem and meta_k and meta_gran == 128
+            and gather_group == 1 and not runtime_skip
+            and col_indices is not None):
+        from merge_spmv_tpu.ops.gather_plan import cluster_meta_np
+        num_sub_x = 8 * max(1, -(-int(num_cols) // 1024))
+        cm = cluster_meta_np(col_indices, num_nonzeros, num_sub_x,
+                             meta=(scratch or {}).get("gmeta"))
+        if cm is not None:
+            cluster_widths = cm[2]
+            if scratch is not None:
+                scratch["cmeta"] = cm
+
     # Resident row-ends (headline class): when x and y are both VMEM
     # resident, staging the padded row-end table once leaves values +
     # columns as the only per-step DMA streams.  Budgeted against the
@@ -327,4 +351,5 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
         row_meta_k=int(row_meta_k),
         gather_group=int(gather_group),
         rowends_vmem=bool(rowends_vmem),
+        cluster_widths=tuple(cluster_widths),
     )

@@ -318,3 +318,57 @@ def test_rowends_vmem_disabled_when_budget_exceeded():
                      row_end_offsets=csr.row_offsets[1:],
                      col_indices=csr.col_indices)
     assert not plan.rowends_vmem
+
+
+@pytest.mark.parametrize("name", ["grid2d", "powerlaw", "multi_chunk_cols",
+                                  "wheel_hub_spans_tiles", "empty_rows"])
+def test_gather_cluster_operator_matches_gold(name):
+    """Cluster-gather mode: one 8-row fetch per contiguous window cluster,
+    visits served by in-register barrel rolls (gather_plan.cluster_meta_np)
+    — must reproduce gold, including alpha/beta."""
+    from merge_spmv_tpu.ops.operator import build_operator
+
+    csr = CsrMatrix.from_coo(CASES[name]()).astype(np.float32)
+    rs = np.random.RandomState(9)
+    csr.values = rs.uniform(0.1, 1, csr.num_nonzeros).astype(np.float32)
+    x = rs.uniform(0.1, 1, csr.num_cols).astype(np.float32)
+    y_in = rs.uniform(0.1, 1, csr.num_rows).astype(np.float32)
+    op = build_operator(csr, dtype="float32", backend="pallas",
+                        tile_items=2048, gather_cluster=True,
+                        runtime_skip=False)
+    if not op.plan.cluster_widths:
+        pytest.skip("cluster cover not viable for this shape")
+    y = op(jnp.asarray(x), interpret=INTERPRET)
+    assert_allclose_ulp(np.asarray(y), csr.spmv_gold(x),
+                        context=f"gather_cluster:{name}")
+    y2 = op(jnp.asarray(x), y_in=jnp.asarray(y_in), alpha=2.0, beta=-0.5,
+            interpret=INTERPRET)
+    # beta < 0 makes near-cancelling rows: the cumsum-difference reduction
+    # carries ~eps*block_total there (NOTES.md) — compare against the
+    # backward-error bound the bench harness uses
+    assert_allclose_ulp(np.asarray(y2),
+                        csr.spmv_gold(x, y_in=y_in, alpha=2.0, beta=-0.5),
+                        abs_bound=csr.spmv_abs_bound(x, y_in, alpha=2.0,
+                                                     beta=-0.5),
+                        context=f"gather_cluster_ab:{name}")
+
+
+def test_gather_cluster_excluded_from_streaming_and_skip():
+    """Cluster mode must stay off for x-streaming plans (window-relative
+    fetch bases) and skewed skip-path plans."""
+    rs = np.random.RandomState(13)
+    n = 3_000_000   # x too large for VMEM residency at fp32
+    rows = np.repeat(np.arange(0, n, 600, dtype=np.int64), 2)
+    cols = np.clip(rows + rs.randint(-200, 200, rows.size), 0, n - 1)
+    plan = make_plan(n, n, rows.size, dtype=np.float32, backend="pallas",
+                     row_end_offsets=None, col_indices=None,
+                     gather_cluster=True)
+    assert not plan.cluster_widths
+    csr = CsrMatrix.from_coo(CASES["wheel_hub_spans_tiles"]()
+                             ).astype(np.float32)
+    plan2 = make_plan(csr.num_rows, csr.num_cols, csr.num_nonzeros,
+                      dtype=np.float32, backend="pallas", tile_items=2048,
+                      row_end_offsets=csr.row_offsets[1:],
+                      col_indices=csr.col_indices,
+                      gather_cluster=True, runtime_skip=True)
+    assert not plan2.cluster_widths

@@ -108,3 +108,57 @@ def test_row_window_covers_every_tile():
         span = tr[1:] - (tr[:-1] // BLOCK) * BLOCK
         assert r_win >= span.max()
         assert r_win % BLOCK == 0
+
+
+def test_cluster_cover_exact_and_clamped():
+    """cluster_meta_np: every distinct window is covered exactly once as
+    base+rel, bases stay within [0, num_sub-8], rels within [0, 8)."""
+    from merge_spmv_tpu.ops.gather_plan import cluster_meta_np, gather_meta_np
+
+    rs = np.random.RandomState(4)
+    n = 30000
+    ncols = 5000
+    cols = np.clip(np.arange(n) % ncols + rs.randint(-400, 400, n),
+                   0, ncols - 1)
+    num_sub = 8 * -(-ncols // 1024)
+    bases, rels, widths = cluster_meta_np(cols, n, num_sub)
+    assert bases.max() <= num_sub - 8
+    assert len(widths) == bases.shape[1]
+    _, lst = gather_meta_np(cols, n)
+    for b in range(lst.shape[0]):
+        want = set(lst[b][lst[b] >= 0].tolist())
+        got = []
+        for c in range(bases.shape[1]):
+            for w in range(widths[c]):
+                r = rels[b, c, w]
+                if r >= 0:
+                    assert 0 <= r < 8
+                    assert bases[b, c] >= 0
+                    got.append(int(bases[b, c] + r))
+        assert sorted(got) == sorted(want)
+
+
+def test_cluster_pack_layout():
+    """pack_tile_cmeta_np: block r's record sits at r*recw and matches the
+    per-slot [base, rels...] concatenation."""
+    from merge_spmv_tpu.ops.gather_plan import (cluster_meta_np, cmeta_width,
+                                                pack_tile_cmeta_np)
+
+    rs = np.random.RandomState(5)
+    n = 6000
+    cols = rs.randint(0, 900, n)
+    bases, rels, widths = cluster_meta_np(cols, n, 8)
+    tile_nnz = [0, 2048, 4096, n]
+    T = 2048
+    packed = pack_tile_cmeta_np(bases, rels, widths, tile_nnz, T)
+    wdt = cmeta_width(T, widths)
+    recw = len(widths) + sum(widths)
+    assert packed.shape[0] == (len(tile_nnz) - 1) * wdt
+    for t in range(len(tile_nnz) - 1):
+        b0 = tile_nnz[t] // 1024
+        rec = packed[t * wdt:(t + 1) * wdt][:recw]
+        want = []
+        for c in range(len(widths)):
+            want.append(bases[b0, c])
+            want.extend(rels[b0, c, :widths[c]].tolist())
+        assert rec.tolist() == want

@@ -11,10 +11,16 @@ flow live, so the measured delta is the marginal cost of the shrunk work:
   span1    — row-phase unroll forced to 1 chunk visit
   nocumsum — cumsum replaced by identity (debug_skip)
   floor    — all three shrinks together (DMA + 1-visit products + write)
+  dynfetch — gather's dynamic sublane fetch pinned to a hoistable
+             constant row (output wrong): base - dynfetch isolates the
+             dynamic-fetch share of the per-visit cost
+  cluster  — cluster-gather mode (one 8-row fetch per window cluster,
+             roll-served visits; gather_plan.cluster_meta_np), verified
   T<n>     — tile-size sweep points on the base configuration
 
 Usage:  PYTHONPATH=.:$PYTHONPATH python tools/perf_probe.py [grid3d_n] [variants]
-        variants: comma list from base,k1,span1,nocumsum,floor,sweep
+        variants: comma list from base,k1,span1,nocumsum,floor,dynfetch,
+        cluster,sweep
 """
 
 import dataclasses
@@ -71,12 +77,21 @@ def main():
           f"({time.time()-t0:.0f}s)", flush=True)
     gold = csr.spmv_gold(np.ones(csr.num_cols, np.float32))
 
-    def build(tile_items=None, k1=False):
+    def build(tile_items=None, k1=False, cluster=False):
         plan = make_plan(csr.num_rows, csr.num_cols, csr.num_nonzeros,
                          dtype="float32", tile_items=tile_items,
                          row_end_offsets=csr.row_offsets[1:],
-                         col_indices=csr.col_indices)
+                         col_indices=csr.col_indices,
+                         gather_cluster=cluster,
+                         runtime_skip=False if cluster else None)
         v, re_, ci = csr.to_device(dtype=np.float32)
+        if cluster:
+            if not plan.cluster_widths:
+                raise RuntimeError("cluster cover unavailable")
+            from merge_spmv_tpu.ops.operator import _build_packed_meta
+            meta = _build_packed_meta(plan, csr.row_offsets[1:],
+                                      csr.col_indices)
+            return plan, prepare_csrmv(plan, v, re_, ci, meta=meta)
         cnt, lst = gather_meta_np(
             csr.col_indices, csr.num_nonzeros,
             pad_blocks=(plan.tile_items + 1024) // 1024 + 1,
@@ -125,6 +140,17 @@ def main():
         res["span1"] = run_variant("span1", plan_s, prep)
     if "nocumsum" in which:
         res["nocumsum"] = run_variant("nocumsum", plan, prep, skip="cumsum")
+    if "dynfetch" in which:
+        res["dynfetch"] = run_variant("dynfetch", plan, prep,
+                                      skip="dynfetch")
+    if "cluster" in which:
+        try:
+            planc, prepc = build(cluster=True)
+            print("cluster widths:", planc.cluster_widths, flush=True)
+            res["cluster"] = run_variant("cluster", planc, prepc,
+                                         verify=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"cluster: failed ({str(e)[:160]})", flush=True)
     if "floor" in which:
         plan1, prep1 = build(k1=True)
         planf = dataclasses.replace(plan1, row_span=1)
