@@ -159,7 +159,9 @@ def _bench_device_backend(backend, csr, x, gold, args, abs_bound=None):
                             backend="auto" if backend == "merge" else "xla",
                             tile_items=args.get("tile_items"),
                             autotune=bool(args.get("autotune")),
-                            gather_group=args.get("gather_group", 1))
+                            gather_group=args.get("gather_group", 1),
+                            gather_cluster=bool(
+                                args.get("gather_cluster", False)))
     prep_t.stop()
     if backend == "merge" and op.plan.backend == "xla" and not quiet:
         print("(plan fell back to xla) ", end="", flush=True)

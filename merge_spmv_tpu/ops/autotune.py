@@ -65,7 +65,7 @@ def _store(key: str, entry: dict):
 
 
 def _time_operator(csr, dtype, tile_items, runtime_skip=None,
-                   gather_group=1, n=12, reps=3):
+                   gather_group=1, gather_cluster=False, n=12, reps=3):
     """Chained-dependent timing (tunnel-safe; see utils/timers)."""
     import time
 
@@ -77,7 +77,8 @@ def _time_operator(csr, dtype, tile_items, runtime_skip=None,
 
     op = build_operator(csr, dtype=dtype, tile_items=tile_items,
                         runtime_skip=runtime_skip,
-                        gather_group=gather_group)
+                        gather_group=gather_group,
+                        gather_cluster=gather_cluster)
     x0 = jnp.ones((csr.num_cols,), jnp.float32)
     ncols = csr.num_cols
 
@@ -136,9 +137,10 @@ def autotune_plan(csr, dtype="float32", candidates=DEFAULT_CANDIDATES,
     if cached:
         return {"tile_items": int(cached["tile_items"]),
                 "runtime_skip": cached.get("runtime_skip"),
-                "gather_group": int(cached.get("gather_group", 1))}
+                "gather_group": int(cached.get("gather_group", 1)),
+                "gather_cluster": bool(cached.get("gather_cluster", False))}
     default = {"tile_items": probe.tile_items, "runtime_skip": None,
-               "gather_group": 1}
+               "gather_group": 1, "gather_cluster": False}
     if probe.backend not in ("pallas", "pallas_ds"):
         return default
 
@@ -152,7 +154,7 @@ def autotune_plan(csr, dtype="float32", candidates=DEFAULT_CANDIDATES,
                 continue
             try:
                 ms = _time_operator(csr, dtype, cand, runtime_skip=rskip)
-                results[(cand, rskip, 1)] = ms
+                results[(cand, rskip, 1, False)] = ms
                 if verbose:
                     print(f"  autotune {key}: T={cand} skip={rskip}: "
                           f"{ms:.4f} ms", flush=True)
@@ -167,7 +169,7 @@ def autotune_plan(csr, dtype="float32", candidates=DEFAULT_CANDIDATES,
             try:
                 ms = _time_operator(csr, dtype, probe.tile_items,
                                     gather_group=g)
-                results[(probe.tile_items, None, g)] = ms
+                results[(probe.tile_items, None, g, False)] = ms
                 if verbose:
                     print(f"  autotune {key}: T={probe.tile_items} "
                           f"G={g}: {ms:.4f} ms", flush=True)
@@ -175,16 +177,30 @@ def autotune_plan(csr, dtype="float32", candidates=DEFAULT_CANDIDATES,
                 if verbose:
                     print(f"  autotune {key}: G={g} failed: {e}",
                           flush=True)
+    # cluster-gather candidate at the heuristic tile size (same
+    # viability window; the plan demotes the knob when the cover fails)
+    if probe.meta_k and probe.meta_gran == 128 and not probe.runtime_skip \
+            and probe.x_in_vmem:
+        try:
+            ms = _time_operator(csr, dtype, probe.tile_items,
+                                gather_cluster=True)
+            results[(probe.tile_items, False, 1, True)] = ms
+            if verbose:
+                print(f"  autotune {key}: T={probe.tile_items} "
+                      f"cluster: {ms:.4f} ms", flush=True)
+        except Exception as e:  # noqa: BLE001
+            if verbose:
+                print(f"  autotune {key}: cluster failed: {e}", flush=True)
     if not results:
         return default
     best = min(results, key=results.get)
     entry = {"tile_items": int(best[0]), "runtime_skip": best[1],
-             "gather_group": int(best[2]),
-             "ms": {f"T{c}_skip{r}_G{g}": round(v, 4)
-                    for (c, r, g), v in results.items()}}
+             "gather_group": int(best[2]), "gather_cluster": bool(best[3]),
+             "ms": {f"T{c}_skip{r}_G{g}_C{int(cl)}": round(v, 4)
+                    for (c, r, g, cl), v in results.items()}}
     _store(key, entry)
     return {"tile_items": int(best[0]), "runtime_skip": best[1],
-            "gather_group": int(best[2])}
+            "gather_group": int(best[2]), "gather_cluster": bool(best[3])}
 
 
 def autotune_tile_items(csr, dtype="float32",

@@ -270,6 +270,8 @@ def build_operator(csr, dtype="float32", backend: str = "auto",
             runtime_skip = knobs["runtime_skip"]
         if gather_group == 1:
             gather_group = knobs.get("gather_group", 1)
+        if not gather_cluster:
+            gather_cluster = knobs.get("gather_cluster", False)
     scratch: dict = {}
     t0 = time.perf_counter()
     plan = make_plan(csr.num_rows, csr.num_cols, csr.num_nonzeros,

@@ -21,6 +21,9 @@ Options:
     --tile-items=<n>                 merge items per Pallas tile
     --gather-group=<n>               blocks per gather-group visit (>1:
                                      fetch-amortized union window lists)
+    --gather-cluster                 cluster-gather mode: one 8-row fetch
+                                     per contiguous window cluster,
+                                     roll-served visits
     --split=<n>                      quantile band count for the split
                                      backend (flag alone: geometric 8,32)
     --autotune                       sweep the knob tuple once per shape
