@@ -300,10 +300,13 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
     # cluster serves its visits from registers via barrel rolls.  Viable
     # when x is VMEM-resident, the fine lists exist, and the cover is
     # tight (stencil/banded/FEM shapes); degrades to the plain list
-    # otherwise.  Mutually exclusive with group mode and the skip path.
+    # otherwise.  Works under the runtime-skip path too (the clist
+    # branch lives inside the shared per-block gather; its SMEM reads
+    # are the same pattern the list mode already uses in branches) —
+    # the skew pair must not regress relative to a cluster-fast uniform.
     cluster_widths: tuple = ()
     if (gather_cluster and x_in_vmem and meta_k and meta_gran == 128
-            and gather_group == 1 and not runtime_skip
+            and gather_group == 1
             and col_indices is not None):
         from merge_spmv_tpu.ops.gather_plan import cluster_meta_np
         num_sub_x = 8 * max(1, -(-int(num_cols) // 1024))

@@ -353,16 +353,13 @@ def test_gather_cluster_operator_matches_gold(name):
                         context=f"gather_cluster_ab:{name}")
 
 
-def test_gather_cluster_excluded_from_streaming_and_skip():
-    """Cluster mode must stay off for x-streaming plans (window-relative
-    fetch bases) and skewed skip-path plans."""
-    rs = np.random.RandomState(13)
-    n = 3_000_000   # x too large for VMEM residency at fp32
-    rows = np.repeat(np.arange(0, n, 600, dtype=np.int64), 2)
-    cols = np.clip(rows + rs.randint(-200, 200, rows.size), 0, n - 1)
-    plan = make_plan(n, n, rows.size, dtype=np.float32, backend="pallas",
-                     row_end_offsets=None, col_indices=None,
-                     gather_cluster=True)
+def test_gather_cluster_excluded_from_streaming():
+    """Cluster mode must stay off for x-streaming plans (fetch bases are
+    window-relative there), but IS allowed under the runtime-skip path
+    (the skew pair must not regress relative to a cluster-fast uniform)."""
+    plan = make_plan(3_000_000, 3_000_000, 10_000_000, dtype=np.float32,
+                     backend="pallas", row_end_offsets=None,
+                     col_indices=None, gather_cluster=True)
     assert not plan.cluster_widths
     csr = CsrMatrix.from_coo(CASES["wheel_hub_spans_tiles"]()
                              ).astype(np.float32)
@@ -371,4 +368,24 @@ def test_gather_cluster_excluded_from_streaming_and_skip():
                       row_end_offsets=csr.row_offsets[1:],
                       col_indices=csr.col_indices,
                       gather_cluster=True, runtime_skip=True)
-    assert not plan2.cluster_widths
+    assert plan2.cluster_widths
+
+
+@pytest.mark.parametrize("name", ["wheel_hub_spans_tiles", "powerlaw"])
+def test_gather_cluster_skip_path_matches_gold(name):
+    """Cluster gather composed with the runtime-skip (skew) kernel form."""
+    from merge_spmv_tpu.ops.operator import build_operator
+
+    csr = CsrMatrix.from_coo(CASES[name]()).astype(np.float32)
+    rs = np.random.RandomState(17)
+    csr.values = rs.uniform(0.1, 1, csr.num_nonzeros).astype(np.float32)
+    x = rs.uniform(0.1, 1, csr.num_cols).astype(np.float32)
+    op = build_operator(csr, dtype="float32", backend="pallas",
+                        tile_items=2048, gather_cluster=True,
+                        runtime_skip=True)
+    if not op.plan.cluster_widths:
+        pytest.skip("cluster cover not viable for this shape")
+    assert op.plan.runtime_skip
+    y = op(jnp.asarray(x), interpret=INTERPRET)
+    assert_allclose_ulp(np.asarray(y), csr.spmv_gold(x),
+                        context=f"gather_cluster_skip:{name}")
