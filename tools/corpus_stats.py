@@ -84,11 +84,11 @@ def load_rows(path, backend_pref=("Merge CsrMV (pallas)", "XLA CsrMV")):
     return rows, skipped
 
 
-def main():
+def main(argv=None):
     default = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "merge_spmv_tpu", "bench",
         "results_corpus_tpu.csv")
-    paths = sys.argv[1:] or [default]
+    paths = (sys.argv[1:] if argv is None else argv) or [default]
     out = {}
     for path in paths:
         rows, skipped = load_rows(path)

@@ -106,6 +106,14 @@ def main(argv=None):
         print(f"{name}, {status}", file=out, flush=True)
     if args.out:
         out.close()
+        # corpus-scale acceptance statistics (paper Fig. 9 analogs):
+        # skew correlation + runtime-vs-nnz linearity over the sweep
+        try:
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            import corpus_stats
+            corpus_stats.main([args.out])
+        except Exception as e:  # noqa: BLE001
+            print(f"# corpus_stats failed: {e}", file=sys.stderr)
     return 0
 
 
