@@ -389,3 +389,22 @@ def test_gather_cluster_skip_path_matches_gold(name):
     y = op(jnp.asarray(x), interpret=INTERPRET)
     assert_allclose_ulp(np.asarray(y), csr.spmv_gold(x),
                         context=f"gather_cluster_skip:{name}")
+
+
+def test_gather_cluster_mm_column_loop():
+    """A cluster-mode operator's SpMM column loop reuses the cluster meta
+    (plan and packed meta must stay consistent through csrmm)."""
+    from merge_spmv_tpu.ops.operator import build_operator
+
+    csr = CsrMatrix.from_coo(CASES["grid2d"]()).astype(np.float32)
+    rs = np.random.RandomState(21)
+    csr.values = rs.uniform(0.1, 1, csr.num_nonzeros).astype(np.float32)
+    X = rs.uniform(0.1, 1, (csr.num_cols, 3)).astype(np.float32)
+    op = build_operator(csr, dtype="float32", backend="pallas",
+                        tile_items=2048, gather_cluster=True,
+                        runtime_skip=False)
+    if not op.plan.cluster_widths:
+        pytest.skip("cluster cover not viable for this shape")
+    Y = op.mm(jnp.asarray(X), interpret=INTERPRET)
+    assert_allclose_ulp(np.asarray(Y), csr.spmm_gold(X),
+                        context="gather_cluster_mm")
