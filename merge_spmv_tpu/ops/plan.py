@@ -110,10 +110,19 @@ class SpmvPlan:
                 + self.num_rows * (os_ + vs * self.num_rhs))
 
     def describe(self) -> str:
+        if self.cluster_widths:
+            gm = f"cluster{self.cluster_widths}"
+        elif self.gather_group > 1:
+            gm = f"group{self.gather_group}"
+        elif self.meta_k:
+            gm = f"list{self.meta_k}@{self.meta_gran}"
+        else:
+            gm = "range"
         return (f"SpmvPlan({self.num_rows}x{self.num_cols}, nnz="
                 f"{self.num_nonzeros}, {self.dtype}, backend={self.backend}, "
                 f"tile_items={self.tile_items}, tiles={self.num_tiles}, "
-                f"x_in_vmem={self.x_in_vmem}, k={self.num_rhs})")
+                f"x_in_vmem={self.x_in_vmem}, gather={gm}, "
+                f"k={self.num_rhs})")
 
 
 def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
