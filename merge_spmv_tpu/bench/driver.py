@@ -154,6 +154,12 @@ def _bench_device_backend(backend, csr, x, gold, args, abs_bound=None):
             else (8, 32),
             num_bands=nb if isinstance(nb, int) and nb > 1 else 5,
             tile_items=args.get("tile_items"))
+    elif backend == "hotcold":
+        from merge_spmv_tpu.ops.split import build_hotcold_operator
+        op = build_hotcold_operator(csr, dtype=csr.values.dtype,
+                                    tile_items=args.get("tile_items"))
+        if not quiet:
+            print(f"({op.describe()}) ", end="", flush=True)
     else:
         op = build_operator(csr, dtype=csr.values.dtype,
                             backend="auto" if backend == "merge" else "xla",
@@ -195,6 +201,22 @@ def _bench_device_backend(backend, csr, x, gold, args, abs_bound=None):
                 step = split_operator_step_fn(op)
             else:
                 # stacked plan fell back to XLA (off-TPU): generic step
+                def step(xc, _op=op):
+                    y = _op(xc).astype(xc.dtype)
+                    if csr.num_rows >= csr.num_cols:
+                        return xc + y[:csr.num_cols] * 1e-20
+                    return xc + jnp.pad(
+                        y, (0, csr.num_cols - csr.num_rows)) * 1e-20
+                step = jax.jit(step)
+        elif backend == "hotcold":
+            parts = [o for o in (op.hot_op, op.cold_op) if o is not None]
+            if all(getattr(o, "_prep", None) is not None
+                   and o.plan.backend == "pallas" for o in parts):
+                from merge_spmv_tpu.utils.timers import (
+                    hotcold_operator_step_fn)
+                step = hotcold_operator_step_fn(op)
+            else:
+                # a part fell off the pallas fast path: generic step
                 def step(xc, _op=op):
                     y = _op(xc).astype(xc.dtype)
                     if csr.num_rows >= csr.num_cols:
@@ -337,7 +359,7 @@ def run_benchmark(args) -> dict:
             print(f"\n{_display_name(backend)}, ", end="", flush=True)
         else:
             print(f"{_display_name(backend)}, ", end="", flush=True)
-        if backend in ("merge", "xla", "split"):
+        if backend in ("merge", "xla", "split", "hotcold"):
             r = _bench_device_backend(backend, csr, x, gold, args, abs_bound)
         elif backend == "scipy":
             r = _bench_scipy(csr, x, gold, args, abs_bound)
@@ -350,7 +372,7 @@ def run_benchmark(args) -> dict:
             continue
         results[backend] = display_perf(
             backend, r.setup_ms, r.avg_ms, csr, vb, quiet=quiet,
-            peak_gbps=peak if backend in ("merge", "xla", "split")
+            peak_gbps=peak if backend in ("merge", "xla", "split", "hotcold")
             else None)
         results[backend]["verified"] = r.verified
     print()
@@ -360,4 +382,5 @@ def run_benchmark(args) -> dict:
 def _display_name(backend):
     return {"merge": "Merge CsrMV (pallas)", "xla": "XLA CsrMV",
             "scipy": "SciPy CsrMV", "torch": "Torch CsrMV",
-            "split": "Banded-split CsrMV (stacked)"}.get(backend, backend)
+            "split": "Banded-split CsrMV (stacked)",
+            "hotcold": "Hot/cold-split CsrMV"}.get(backend, backend)

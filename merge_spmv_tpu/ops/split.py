@@ -43,7 +43,8 @@ import numpy as np
 from merge_spmv_tpu.formats.csr import CsrMatrix
 
 __all__ = ["split_by_distance", "SplitSpmvOperator", "build_split_operator",
-           "band_assignment", "stack_bands"]
+           "band_assignment", "stack_bands", "popularity_assignment",
+           "HotColdSpmvOperator", "build_hotcold_operator"]
 
 
 def _row_ids(csr: CsrMatrix) -> np.ndarray:
@@ -184,14 +185,21 @@ def stack_bands(csr: CsrMatrix, band: np.ndarray, nbands: int,
 
 
 def _subset_csr(csr: CsrMatrix, mask: np.ndarray,
-                row_ids: np.ndarray) -> CsrMatrix:
-    """CSR holding only the masked nonzeros; same shape, same rows."""
+                row_ids: np.ndarray,
+                cols: Optional[np.ndarray] = None,
+                num_cols: Optional[int] = None) -> CsrMatrix:
+    """CSR holding only the masked nonzeros; same rows.  ``cols`` replaces
+    the selected column indices (already masked), ``num_cols`` the column
+    count — used by the hot/cold split's compact remap."""
     sel_rows = row_ids[mask]
     counts = np.bincount(sel_rows, minlength=csr.num_rows)
     row_offsets = np.zeros(csr.num_rows + 1, dtype=csr.row_offsets.dtype)
     np.cumsum(counts, out=row_offsets[1:])
-    return CsrMatrix(csr.num_rows, csr.num_cols, row_offsets,
-                     np.ascontiguousarray(csr.col_indices[mask]),
+    if cols is None:
+        cols = csr.col_indices[mask]
+    return CsrMatrix(csr.num_rows,
+                     csr.num_cols if num_cols is None else num_cols,
+                     row_offsets, np.ascontiguousarray(cols),
                      np.ascontiguousarray(csr.values[mask]))
 
 
@@ -273,6 +281,166 @@ class SplitSpmvOperator:
         parts = ", ".join(str(n) for n in self.band_nnz)
         return (f"SplitSpmvOperator({self.num_bands} bands stacked, "
                 f"nnz=[{parts}], setup={self.setup_ms:.0f} ms)")
+
+
+def popularity_assignment(csr: CsrMatrix,
+                          coverage: float = 0.5,
+                          max_hot_windows: int = 4096,
+                          min_gain: float = 2.0):
+    """Select hot 128-column windows by nonzero popularity.
+
+    The gather ladder's adversary is the powerlaw-column class
+    (kron_g500 / webbase): popular columns scatter over the whole column
+    space, so every 1024-nnz block touches many distinct x windows and
+    the plan degrades to the dynamic range walk.  Compacting the popular
+    columns into a dense prefix collapses those visits: 8 formerly
+    scattered hub windows re-map into one.
+
+    Windows are taken in descending nnz count while (a) a window still
+    holds ≥ ``min_gain`` × the mean per-window count (a flat profile
+    selects nothing — circuit-class matrices stay on the banded split),
+    (b) cumulative coverage < ``coverage``, (c) at most
+    ``max_hot_windows`` (the compact x prefix is 512 B per window; 4096
+    windows = 2 MB, VMEM-resident).  Returns ``(hot_mask, hot_windows)``
+    — per-nonzero bool mask and the ASCENDING window ids (ascending
+    order preserves whatever original column locality the hot set has).
+    Empty hot set ⇒ the split is not worth a second kernel launch.
+    """
+    nwin = max(1, -(-csr.num_cols // 128))
+    win = (csr.col_indices >> 7).astype(np.int32, copy=False)
+    wcount = np.bincount(win, minlength=nwin)
+    order = np.argsort(wcount)[::-1]
+    csum = np.cumsum(wcount[order])
+    mean = csr.num_nonzeros / max(1, int((wcount > 0).sum()))
+    take = int(np.searchsorted(csum, coverage * csr.num_nonzeros,
+                               side="left") + 1)
+    take = min(take, max_hot_windows, nwin)
+    # drop trailing windows below the gain threshold
+    counts_desc = wcount[order[:take]]
+    good = counts_desc >= min_gain * mean
+    take = int(np.argmin(good)) if not good.all() else take
+    if take == 0 or csum[take - 1] < 0.10 * csr.num_nonzeros:
+        return np.zeros(csr.num_nonzeros, bool), np.empty(0, np.int64)
+    hot_windows = np.sort(order[:take])
+    rank = np.full(nwin, -1, np.int32)
+    rank[hot_windows] = np.arange(take, dtype=np.int32)
+    return rank[win] >= 0, hot_windows
+
+
+class HotColdSpmvOperator:
+    """Hot/cold column split: popular columns compacted, rest streamed.
+
+    Prepare time partitions the nonzeros by 128-column window popularity
+    (``popularity_assignment``).  The HOT part's columns are re-mapped to
+    a compact prefix ``rank(window)*128 + (col % 128)`` so its x vector
+    is a small dense gather ``x[hot_cols]`` (one XLA gather per call,
+    VMEM-resident inside the kernel); the COLD part keeps the original
+    columns and whatever plan the ladder picks for its (now minority)
+    scatter.  y = hot(x_hot) then cold(x, y_in=y, beta=1) — two launches,
+    each with the plan its column profile deserves.
+
+    This is the TPU analog of the hot working set the reference gets for
+    free from the GPU texture/L2 cache on power-law columns (the x reads
+    in agent_spmv_orig.cuh:471-524 hit cache for hub columns); on TPU the
+    hot set must be pinned explicitly.  Like ``SplitSpmvOperator`` it is
+    a documented opt-in that trades one-time setup for per-call speed
+    (the reference reports HYB conversion setup the same way,
+    gpu_spmv.cu:114-134); ``setup_ms`` is exposed.
+    """
+
+    def __init__(self, csr: CsrMatrix, dtype="float32",
+                 coverage: float = 0.5, max_hot_windows: int = 4096,
+                 min_gain: float = 2.0,
+                 tile_items: Optional[int] = None):
+        import jax.numpy as jnp
+
+        from merge_spmv_tpu.ops.operator import build_operator
+
+        t0 = time.perf_counter()
+        hot_mask, hot_windows = popularity_assignment(
+            csr, coverage=coverage, max_hot_windows=max_hot_windows,
+            min_gain=min_gain)
+        self.num_rows = csr.num_rows
+        self.num_cols = csr.num_cols
+        self.num_hot_windows = int(hot_windows.size)
+        self.hot_nnz = int(hot_mask.sum())
+        self.cold_nnz = csr.num_nonzeros - self.hot_nnz
+        self.hot_op = None
+        self.cold_op = None
+        self._xidx = None
+        row_ids = _row_ids(csr)
+        if self.num_hot_windows:
+            rank = np.full(max(1, -(-csr.num_cols // 128)), -1, np.int32)
+            rank[hot_windows] = np.arange(self.num_hot_windows,
+                                          dtype=np.int32)
+            sel_cols = csr.col_indices[hot_mask]
+            new_cols = (rank[sel_cols >> 7] * 128
+                        + (sel_cols & 127)).astype(np.int32)
+            hot_csr = _subset_csr(csr, hot_mask, row_ids, cols=new_cols,
+                                  num_cols=self.num_hot_windows * 128)
+            self.hot_op = build_operator(hot_csr, dtype=dtype,
+                                         tile_items=tile_items)
+            # original column of each compact slot (clamped: slots past
+            # num_cols in the last window are never referenced)
+            flat = (hot_windows[:, None] * 128
+                    + np.arange(128)[None, :]).ravel()
+            self._xidx = jnp.asarray(
+                np.minimum(flat, csr.num_cols - 1).astype(np.int32))
+        if self.cold_nnz or not self.num_hot_windows:
+            cold_csr = _subset_csr(csr, ~hot_mask, row_ids)
+            self.cold_op = build_operator(cold_csr, dtype=dtype,
+                                          tile_items=tile_items)
+        self.plan = (self.cold_op or self.hot_op).plan
+        self.setup_ms = (time.perf_counter() - t0) * 1e3
+
+    def __call__(self, x, y_in=None, alpha=1.0, beta=0.0,
+                 interpret: bool = False):
+        import jax.numpy as jnp
+        y = None
+        if self.hot_op is not None:
+            x_hot = jnp.take(jnp.asarray(x), self._xidx)
+            y = self.hot_op(x_hot, alpha=alpha, interpret=interpret)
+        if self.cold_op is not None:
+            y = self.cold_op(x, y_in=y, alpha=alpha,
+                             beta=0.0 if y is None else 1.0,
+                             interpret=interpret)
+        if y_in is not None:
+            y = y + jnp.asarray(beta, y.dtype) * y_in
+        return y
+
+    def mm(self, X, Y_in=None, alpha=1.0, beta=0.0, interpret: bool = False,
+           method: str = "auto"):
+        import jax.numpy as jnp
+        Y = None
+        if self.hot_op is not None:
+            X_hot = jnp.take(jnp.asarray(X), self._xidx, axis=0)
+            Y = self.hot_op.mm(X_hot, alpha=alpha, interpret=interpret,
+                               method=method)
+        if self.cold_op is not None:
+            Y = self.cold_op.mm(X, Y_in=Y, alpha=alpha,
+                                beta=0.0 if Y is None else 1.0,
+                                interpret=interpret, method=method)
+        if Y_in is not None:
+            Y = Y + jnp.asarray(beta, Y.dtype) * Y_in
+        return Y
+
+    def describe(self) -> str:
+        hot = (f"{self.num_hot_windows} hot windows, nnz {self.hot_nnz}"
+               if self.num_hot_windows else "no hot set")
+        return (f"HotColdSpmvOperator({hot} / cold nnz {self.cold_nnz}, "
+                f"setup={self.setup_ms:.0f} ms)")
+
+
+def build_hotcold_operator(csr: CsrMatrix, dtype="float32",
+                           coverage: float = 0.5,
+                           max_hot_windows: int = 4096,
+                           min_gain: float = 2.0,
+                           tile_items: Optional[int] = None
+                           ) -> HotColdSpmvOperator:
+    """Build the hot/cold popularity-split operator (see class docs)."""
+    return HotColdSpmvOperator(csr, dtype=dtype, coverage=coverage,
+                               max_hot_windows=max_hot_windows,
+                               min_gain=min_gain, tile_items=tile_items)
 
 
 def build_split_operator(csr: CsrMatrix, dtype="float32",

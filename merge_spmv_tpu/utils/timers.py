@@ -234,6 +234,49 @@ def split_operator_step_fn(sop):
     return lambda xc: _step(xc, *arrs)
 
 
+def hotcold_operator_step_fn(hop):
+    """Chained-timing step for a HotColdSpmvOperator (ops/split.py): the
+    hot launch (compact x gather) and the cold launch accumulate inside
+    ONE jit step, prepared arrays riding as jit ARGUMENTS (a closure
+    would embed them in the remote-compile payload — HTTP 413 at
+    kron-class scale)."""
+    import jax
+    import jax.numpy as jnp
+
+    from merge_spmv_tpu.ops.csrmv_pallas import _prepared_call
+
+    statics = []
+    arr_parts = []
+    for o, xidx in ((hop.hot_op, hop._xidx), (hop.cold_op, None)):
+        if o is None:
+            continue
+        assert (getattr(o, "_prep", None) is not None
+                and o.plan.backend == "pallas"), \
+            "hotcold step requires prepared pallas (fp32) operators"
+        prep = o._prep
+        statics.append((o._plan32, prep.meta_is_list))
+        arr_parts.append((prep.values_p, prep.cols_p, prep.rowends_p,
+                          prep.tile_rows, prep.tile_nnz, prep.cbase,
+                          prep.tile_flags, prep.meta, prep.rowmeta, xidx))
+    statics = tuple(statics)
+    arr_parts = tuple(arr_parts)
+    m, n = hop.num_rows, hop.num_cols
+
+    @jax.jit
+    def _step(xc, parts):
+        y = None
+        for (p32, mil), a in zip(statics, parts):
+            xin = xc if a[9] is None else jnp.take(xc, a[9])
+            y = _prepared_call(
+                p32, *a[:8], xin, y, jnp.float32(1.0), jnp.float32(1.0),
+                a[8], meta_is_list=mil, alpha_one=True, interpret=False)
+        if m >= n:
+            return xc + y[:n] * 1e-20
+        return xc + jnp.pad(y, (0, n - m)) * 1e-20
+
+    return lambda xc: _step(xc, arr_parts)
+
+
 def chain_through(y_to_x_scale=1e-12):
     """Helper making a chain step from an (args -> y) function when x and y
     have different shapes: x' = x * (1 + tanh(sum(y)) * scale)."""

@@ -17,7 +17,10 @@ Options:
     --v / --v2                       verbose / dump matrix
     --backends=merge,xla,scipy,torch comma list (default scipy,xla,merge);
                                      "split" adds the banded-split
-                                     stacked operator (ops/split.py)
+                                     stacked operator, "hotcold" the
+                                     popularity hot/cold column split
+                                     (both ops/split.py, opt-in setup
+                                     cost reported like HYB conversion)
     --tile-items=<n>                 merge items per Pallas tile
     --gather-group=<n>               blocks per gather-group visit (>1:
                                      fetch-amortized union window lists)

@@ -116,3 +116,13 @@ def test_cli_split_backend_runs():
     results, _ = _run({"uniform": 600, "fp32": True, "quiet": True,
                        "backends": ["split"], "split": 3, "i": 3})
     assert results["split"]["verified"]
+
+
+def test_cli_hotcold_backend_runs():
+    """--backends=hotcold drives the popularity split end to end.  The
+    generator's columns are uniform so the hot set declines and the
+    operator degenerates to a single cold launch — the declining path is
+    exactly what the driver must survive."""
+    results, _ = _run({"powerlaw": 4000, "fp32": True, "quiet": True,
+                       "backends": ["hotcold"], "i": 3})
+    assert results["hotcold"]["verified"]

@@ -11,7 +11,10 @@ import pytest
 
 from merge_spmv_tpu.formats.coo import CooMatrix
 from merge_spmv_tpu.formats.csr import CsrMatrix
-from merge_spmv_tpu.ops.split import split_by_distance, build_split_operator
+from merge_spmv_tpu.ops.split import (build_hotcold_operator,
+                                      build_split_operator,
+                                      popularity_assignment,
+                                      split_by_distance)
 from merge_spmv_tpu.utils.compare import compare_results
 
 
@@ -86,6 +89,99 @@ def test_split_quantile_operator_matches_gold():
     gold = csr.spmv_gold(x, y0, alpha=2.0, beta=0.25)
     bound = csr.spmv_abs_bound(x, y0, alpha=2.0, beta=0.25)
     assert compare_results(np.asarray(y), gold, abs_bound=bound) is None
+
+
+def _powerlaw_cols(n=20000, deg=8, hubs=40, hub_frac=0.6, seed=7):
+    """Hub-column fixture: hub_frac of the nonzeros land on a few popular
+    columns scattered over the whole range (kron/webbase class)."""
+    rs = np.random.RandomState(seed)
+    rows = np.repeat(np.arange(n, dtype=np.int64), deg)
+    m = rows.size
+    hub_cols = rs.choice(n, hubs, replace=False)
+    is_hub = rs.random(m) < hub_frac
+    cols = np.where(is_hub, hub_cols[rs.randint(0, hubs, m)],
+                    rs.randint(0, n, m))
+    vals = rs.uniform(-1.0, 1.0, m)
+    return CsrMatrix.from_coo(CooMatrix(n, n, rows, cols, vals)
+                              ).astype(np.float32)
+
+
+def test_popularity_assignment_selects_hubs():
+    csr = _powerlaw_cols()
+    hot_mask, hot_windows = popularity_assignment(csr, coverage=0.5)
+    assert hot_windows.size > 0
+    # the selected mask must actually be the popular minority of windows
+    assert hot_mask.sum() >= 0.3 * csr.num_nonzeros
+    assert hot_windows.size * 128 < csr.num_cols
+    # ascending, unique window ids
+    assert (np.diff(hot_windows) > 0).all()
+
+
+def test_popularity_assignment_flat_profile_selects_nothing():
+    # uniform scatter: every window roughly equally popular — the split
+    # must decline (the banded split owns the scatter classes)
+    n, deg = 20000, 9
+    rs = np.random.RandomState(5)
+    rows = np.repeat(np.arange(n, dtype=np.int64), deg)
+    cols = rs.randint(0, n, rows.size)
+    vals = rs.uniform(-1, 1, rows.size)
+    csr = CsrMatrix.from_coo(CooMatrix(n, n, rows, cols, vals)
+                             ).astype(np.float32)
+    hot_mask, hot_windows = popularity_assignment(csr, coverage=0.5)
+    assert hot_windows.size == 0
+    assert not hot_mask.any()
+
+
+def test_hotcold_operator_matches_gold():
+    csr = _powerlaw_cols()
+    import jax.numpy as jnp
+    op = build_hotcold_operator(csr, dtype="float32")
+    assert op.num_hot_windows > 0, "fixture should actually split"
+    assert op.hot_nnz + op.cold_nnz == csr.num_nonzeros
+    rs = np.random.RandomState(0)
+    x = rs.uniform(-1, 1, csr.num_cols).astype(np.float32)
+    y0 = rs.uniform(-1, 1, csr.num_rows).astype(np.float32)
+    y = op(jnp.asarray(x), y_in=jnp.asarray(y0), alpha=1.5, beta=-0.5,
+           interpret=True)
+    gold = csr.spmv_gold(x, y0, alpha=1.5, beta=-0.5)
+    bound = csr.spmv_abs_bound(x, y0, alpha=1.5, beta=-0.5)
+    assert compare_results(np.asarray(y), gold, abs_bound=bound) is None
+
+
+def test_hotcold_operator_all_hot():
+    # every nonzero on 64 columns inside 4 windows: with full coverage
+    # requested the cold side is empty and only the hot launch runs
+    n, deg = 1500, 5
+    rs = np.random.RandomState(3)
+    rows = np.repeat(np.arange(n, dtype=np.int64), deg)
+    hub = rs.choice(512, 64, replace=False)
+    cols = hub[rs.randint(0, 64, rows.size)]
+    vals = rs.uniform(-1, 1, rows.size)
+    csr = CsrMatrix.from_coo(CooMatrix(n, n, rows, cols, vals)
+                             ).astype(np.float32)
+    import jax.numpy as jnp
+    op = build_hotcold_operator(csr, dtype="float32", coverage=1.0,
+                                min_gain=0.0)
+    assert op.num_hot_windows > 0 and op.cold_nnz == 0
+    assert op.cold_op is None
+    x = rs.uniform(-1, 1, n).astype(np.float32)
+    y = op(jnp.asarray(x), interpret=True)
+    gold = csr.spmv_gold(x)
+    bound = csr.spmv_abs_bound(x)
+    assert compare_results(np.asarray(y), gold, abs_bound=bound) is None
+
+
+def test_hotcold_operator_mm_matches_gold():
+    csr = _powerlaw_cols(n=12000, deg=6, hubs=20)
+    import jax.numpy as jnp
+    op = build_hotcold_operator(csr, dtype="float32")
+    rs = np.random.RandomState(1)
+    X = rs.uniform(-1, 1, (csr.num_cols, 3)).astype(np.float32)
+    Y = op.mm(jnp.asarray(X), interpret=True)
+    gold = csr.spmm_gold(X)
+    err = np.max(np.abs(np.asarray(Y) - gold))
+    scale = np.max(np.abs(gold)) + 1e-9
+    assert err / scale < 1e-5
 
 
 def test_split_operator_mm_matches_gold():

@@ -1,0 +1,123 @@
+"""Stacked banded-split sweep on the circuit5M-class matrix (run on TPU).
+
+Loads the cached matrix, measures the default merge path once, then
+sweeps quantile band counts through the stacked split operator and
+writes BENCH_LARGE.json with the merge entry + the best split config.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+from merge_spmv_tpu.utils.hostmem import enable_warm_heap  # noqa: E402
+enable_warm_heap()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from merge_spmv_tpu.formats.csr import CsrMatrix  # noqa: E402
+from merge_spmv_tpu.ops.operator import build_operator  # noqa: E402
+from merge_spmv_tpu.ops.split import SplitSpmvOperator  # noqa: E402
+from merge_spmv_tpu.utils.compare import compare_results  # noqa: E402
+from merge_spmv_tpu.utils.device import peak_hbm_bandwidth  # noqa: E402
+from merge_spmv_tpu.utils.timers import (chained_rate_ms,  # noqa: E402
+                                         operator_step_fn,
+                                         split_operator_step_fn)
+
+CACHE = "/tmp/circuit_cache.npz"
+
+t0 = time.time()
+if os.path.exists(CACHE):
+    d = np.load(CACHE)
+    csr = CsrMatrix(int(d["n"]), int(d["n"]), d["ro"], d["ci"], d["v"])
+else:
+    sys.path.insert(0, "/root/repo/tools")
+    import bench_large as bl
+    n, nnz = 5_558_326, 59_524_291
+    r_, c_, v_ = bl.make_circuit_like(n, nnz)
+    from merge_spmv_tpu.formats.coo import CooMatrix
+    csr = CsrMatrix.from_coo(CooMatrix(n, n, r_, c_, v_)).astype(np.float32)
+    np.savez(CACHE, n=csr.num_rows, ro=csr.row_offsets, ci=csr.col_indices,
+             v=csr.values)
+if csr.values.dtype != np.float32:
+    csr = csr.astype(np.float32)
+print(f"matrix {csr.num_rows}x{csr.num_cols} nnz={csr.num_nonzeros} "
+      f"({time.time()-t0:.0f}s)", flush=True)
+
+x = np.random.RandomState(1).uniform(0.1, 1.0, csr.num_cols).astype(np.float32)
+gold = csr.spmv_gold(x)
+xd = jnp.asarray(x)
+total_bytes = csr.num_nonzeros * 12 + csr.num_rows * 8
+peak = peak_hbm_bandwidth()
+out = {"metric": "circuit5M_class_merge_csrmv_fp32",
+       "rows": csr.num_rows, "nnz": csr.num_nonzeros}
+
+# default (no-preprocessing) merge path
+t0 = time.time()
+op = build_operator(csr, dtype="float32")
+y = op(xd)
+jax.block_until_ready(y)
+print("plan:", op.plan.describe(), "x_win", op.plan.x_win,
+      "setup_s", op.setup_s, flush=True)
+ok = compare_results(np.asarray(y), gold, verbose=True) is None
+ms = chained_rate_ms(operator_step_fn(op), xd)
+gbps = total_bytes / ms / 1e6
+print(f"merge: verify={'PASS' if ok else 'FAIL'} {ms:.3f} ms "
+      f"{gbps:.1f} GB/s ({100*gbps/peak:.1f}% peak) "
+      f"(setup+compile {time.time()-t0:.0f}s)", flush=True)
+out["merge"] = {"avg_ms": round(ms, 3),
+                "gflops": round(2 * csr.num_nonzeros / ms / 1e6, 2),
+                "effective_gbps": round(gbps, 1), "verified": ok,
+                "backend": op.plan.backend, "x_win": op.plan.x_win,
+                "pct_peak": round(100 * gbps / peak, 1)}
+del op
+
+# stacked banded split sweep
+best = None
+configs = [int(a) for a in sys.argv[1:]] or [8, 16, 32]
+sweep = {}
+for nb in configs:
+    try:
+        t0 = time.time()
+        sop = SplitSpmvOperator(csr, dtype="float32",
+                                edges_chunks="quantile", num_bands=nb)
+        y_s = sop(xd)
+        jax.block_until_ready(y_s)
+        ok_s = compare_results(np.asarray(y_s), gold, verbose=True) is None
+        ms_s = chained_rate_ms(split_operator_step_fn(sop), xd)
+        gbps_s = total_bytes / ms_s / 1e6
+        print(f"split B={sop.num_bands}: verify={'PASS' if ok_s else 'FAIL'} "
+              f"{ms_s:.3f} ms {gbps_s:.1f} GB/s "
+              f"({100*gbps_s/peak:.1f}% peak) plan={sop.plan.describe()} "
+              f"x_win={sop.plan.x_win} split_setup={sop.setup_ms:.0f}ms "
+              f"(total setup+compile {time.time()-t0:.0f}s)", flush=True)
+        entry = {"avg_ms": round(ms_s, 3),
+                 "gflops": round(2 * csr.num_nonzeros / ms_s / 1e6, 2),
+                 "effective_gbps": round(gbps_s, 1), "verified": ok_s,
+                 "num_bands": sop.num_bands, "edges": "quantile",
+                 "split_setup_ms": round(sop.setup_ms, 0)}
+        sweep[nb] = entry
+        if ok_s and (best is None or ms_s < best["avg_ms"]):
+            best = entry
+        del sop
+    except Exception as e:  # noqa: BLE001
+        import traceback
+        traceback.print_exc()
+        sweep[nb] = {"error": str(e)[:200]}
+
+out["split_sweep"] = sweep
+if best:
+    out["split"] = best
+out["xla"] = {"avg_ms": 10925.5, "verified": True,
+              "reused_prior_measurement": True}
+out["merge_vs_xla_speedup"] = round(10925.5 / ms, 1)
+if best:
+    out["split_vs_xla_speedup"] = round(10925.5 / best["avg_ms"], 1)
+out["reference_k40_merge_ms"] = 6.92
+out["reference_cpu_merge_ms"] = 12.64
+with open("/root/repo/BENCH_LARGE.json", "w") as f:
+    json.dump(out, f, indent=1)
+print(json.dumps(out), flush=True)

@@ -152,6 +152,47 @@ def run_csrmv(name, csr, dtype_name, chains=10, out=None):
     return rec
 
 
+def run_hotcold(csr, chains=6):
+    """A/B the hot/cold popularity split (ops/split.py) against the
+    default operator on a powerlaw-column matrix — fp32 only (the split
+    targets the gather mechanics, not the precision path)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from merge_spmv_tpu.ops.split import build_hotcold_operator
+    from merge_spmv_tpu.utils.compare import compare_results
+    from merge_spmv_tpu.utils.timers import hotcold_operator_step_fn
+
+    t0 = time.time()
+    op = build_hotcold_operator(csr, dtype="float32")
+    print(f"  {op.describe()}", flush=True)
+    if op.num_hot_windows == 0:
+        return {"declined": True, "setup_ms": round(op.setup_ms, 0)}
+    x = np.random.RandomState(1).uniform(0.5, 1.5, csr.num_cols
+                                         ).astype(np.float32)
+    gold = csr.spmv_gold(x)
+    bound = csr.spmv_abs_bound(x)
+    xd = jnp.asarray(x)
+    y = op(xd)
+    jax.block_until_ready(y)
+    setup_s = time.time() - t0
+    ok = compare_results(np.asarray(y), gold, verbose=True,
+                         abs_bound=bound) is None
+    ms = chained_kernel_ms(hotcold_operator_step_fn(op), xd, n=chains)
+    total_bytes = csr.num_nonzeros * 12 + csr.num_rows * 8
+    gbps = total_bytes / ms / 1e6
+    print(f"  hotcold: {ms:.3f} ms  {gbps:.1f} GB/s  "
+          f"verify={'PASS' if ok else 'FAIL'} "
+          f"(setup+compile {setup_s:.0f}s)", flush=True)
+    return {"avg_ms": round(ms, 3),
+            "gflops": round(2 * csr.num_nonzeros / ms / 1e6, 3),
+            "effective_gbps": round(gbps, 2), "verified": ok,
+            "hot_windows": op.num_hot_windows, "hot_nnz": op.hot_nnz,
+            "cold_nnz": op.cold_nnz, "split_setup_ms": round(op.setup_ms, 0),
+            "setup_compile_s": round(setup_s, 1)}
+
+
 def main():
     from merge_spmv_tpu.utils.hostmem import enable_warm_heap
     enable_warm_heap()   # warm-page reuse for plan-time numpy
@@ -183,20 +224,29 @@ def main():
         results["cant_class"] = run_csrmv("cant_class", csr, "float64")
         save()
 
-    if "webbase_pair" in want and "webbase_1M_class" not in results:
+    wb_keys = {"webbase_1M_class", "wb_edu_class", "wb_edu_class_hotcold"}
+    if "webbase_pair" in want and not wb_keys <= results.keys():
         # webbase-1M: 1,000,005 rows, 3.1M nnz; wb-edu: 9,845,725 rows,
         # 57.2M nnz — the power-law skew pair (config 2)
-        print("== webbase_1M_class (fp32 powerlaw web) ==", flush=True)
-        csr = build(powerlaw_web(1_000_005, 3_105_536, 0.85, 16384, 12,
-                                 np.float32), np.float32)
-        results["webbase_1M_class"] = run_csrmv("webbase_1M_class", csr,
-                                                "float32", chains=20)
-        save()
+        if "webbase_1M_class" not in results:
+            print("== webbase_1M_class (fp32 powerlaw web) ==", flush=True)
+            csr = build(powerlaw_web(1_000_005, 3_105_536, 0.85, 16384, 12,
+                                     np.float32), np.float32)
+            results["webbase_1M_class"] = run_csrmv("webbase_1M_class", csr,
+                                                    "float32", chains=20)
+            save()
         print("== wb_edu_class (fp32 powerlaw web, 57M nnz) ==", flush=True)
         csr = build(powerlaw_web(9_845_725, 57_156_537, 0.95, 32768, 13,
                                  np.float32), np.float32)
-        results["wb_edu_class"] = run_csrmv("wb_edu_class", csr, "float32",
-                                            chains=6)
+        if "wb_edu_class" not in results:
+            results["wb_edu_class"] = run_csrmv("wb_edu_class", csr,
+                                                "float32", chains=6)
+            save()
+        if "wb_edu_class_hotcold" not in results:
+            # hot/cold popularity split A/B on the same matrix (the
+            # mechanism for powerlaw columns; VERDICT round-2 item 2)
+            print("== wb_edu_class hot/cold split ==", flush=True)
+            results["wb_edu_class_hotcold"] = run_hotcold(csr, chains=6)
         # the skew-invariance check across the pair (per-nnz rates)
         a = results["webbase_1M_class"]
         b = results["wb_edu_class"]
