@@ -351,7 +351,8 @@ class HotColdSpmvOperator:
     def __init__(self, csr: CsrMatrix, dtype="float32",
                  coverage: float = 0.5, max_hot_windows: int = 4096,
                  min_gain: float = 2.0,
-                 tile_items: Optional[int] = None):
+                 tile_items: Optional[int] = None,
+                 backend: str = "auto"):
         import jax.numpy as jnp
 
         from merge_spmv_tpu.ops.operator import build_operator
@@ -379,7 +380,8 @@ class HotColdSpmvOperator:
             hot_csr = _subset_csr(csr, hot_mask, row_ids, cols=new_cols,
                                   num_cols=self.num_hot_windows * 128)
             self.hot_op = build_operator(hot_csr, dtype=dtype,
-                                         tile_items=tile_items)
+                                         tile_items=tile_items,
+                                         backend=backend)
             # original column of each compact slot (clamped: slots past
             # num_cols in the last window are never referenced)
             flat = (hot_windows[:, None] * 128
@@ -389,7 +391,8 @@ class HotColdSpmvOperator:
         if self.cold_nnz or not self.num_hot_windows:
             cold_csr = _subset_csr(csr, ~hot_mask, row_ids)
             self.cold_op = build_operator(cold_csr, dtype=dtype,
-                                          tile_items=tile_items)
+                                          tile_items=tile_items,
+                                          backend=backend)
         self.plan = (self.cold_op or self.hot_op).plan
         self.setup_ms = (time.perf_counter() - t0) * 1e3
 
@@ -435,12 +438,13 @@ def build_hotcold_operator(csr: CsrMatrix, dtype="float32",
                            coverage: float = 0.5,
                            max_hot_windows: int = 4096,
                            min_gain: float = 2.0,
-                           tile_items: Optional[int] = None
-                           ) -> HotColdSpmvOperator:
+                           tile_items: Optional[int] = None,
+                           backend: str = "auto") -> HotColdSpmvOperator:
     """Build the hot/cold popularity-split operator (see class docs)."""
     return HotColdSpmvOperator(csr, dtype=dtype, coverage=coverage,
                                max_hot_windows=max_hot_windows,
-                               min_gain=min_gain, tile_items=tile_items)
+                               min_gain=min_gain, tile_items=tile_items,
+                               backend=backend)
 
 
 def build_split_operator(csr: CsrMatrix, dtype="float32",
