@@ -160,6 +160,12 @@ def _bench_device_backend(backend, csr, x, gold, args, abs_bound=None):
                                     tile_items=args.get("tile_items"))
         if not quiet:
             print(f"({op.describe()}) ", end="", flush=True)
+    elif backend == "dia":
+        from merge_spmv_tpu.ops.dia import build_dia_operator
+        op = build_dia_operator(csr, dtype=csr.values.dtype,
+                                tile_items=args.get("tile_items"))
+        if not quiet:
+            print(f"({op.describe()}) ", end="", flush=True)
     else:
         op = build_operator(csr, dtype=csr.values.dtype,
                             backend="auto" if backend == "merge" else "xla",
@@ -201,6 +207,21 @@ def _bench_device_backend(backend, csr, x, gold, args, abs_bound=None):
                 step = split_operator_step_fn(op)
             else:
                 # stacked plan fell back to XLA (off-TPU): generic step
+                def step(xc, _op=op):
+                    y = _op(xc).astype(xc.dtype)
+                    if csr.num_rows >= csr.num_cols:
+                        return xc + y[:csr.num_cols] * 1e-20
+                    return xc + jnp.pad(
+                        y, (0, csr.num_cols - csr.num_rows)) * 1e-20
+                step = jax.jit(step)
+        elif backend == "dia":
+            if (op.rest_op is None
+                    or (getattr(op.rest_op, "_prep", None) is not None
+                        and op.rest_op.plan.backend == "pallas")):
+                from merge_spmv_tpu.utils.timers import dia_operator_step_fn
+                step = dia_operator_step_fn(op)
+            else:
+                # leftover part fell off the pallas fast path
                 def step(xc, _op=op):
                     y = _op(xc).astype(xc.dtype)
                     if csr.num_rows >= csr.num_cols:
@@ -359,7 +380,7 @@ def run_benchmark(args) -> dict:
             print(f"\n{_display_name(backend)}, ", end="", flush=True)
         else:
             print(f"{_display_name(backend)}, ", end="", flush=True)
-        if backend in ("merge", "xla", "split", "hotcold"):
+        if backend in ("merge", "xla", "split", "hotcold", "dia"):
             r = _bench_device_backend(backend, csr, x, gold, args, abs_bound)
         elif backend == "scipy":
             r = _bench_scipy(csr, x, gold, args, abs_bound)
@@ -372,8 +393,8 @@ def run_benchmark(args) -> dict:
             continue
         results[backend] = display_perf(
             backend, r.setup_ms, r.avg_ms, csr, vb, quiet=quiet,
-            peak_gbps=peak if backend in ("merge", "xla", "split", "hotcold")
-            else None)
+            peak_gbps=peak if backend in ("merge", "xla", "split",
+                                          "hotcold", "dia") else None)
         results[backend]["verified"] = r.verified
     print()
     return results
@@ -383,4 +404,5 @@ def _display_name(backend):
     return {"merge": "Merge CsrMV (pallas)", "xla": "XLA CsrMV",
             "scipy": "SciPy CsrMV", "torch": "Torch CsrMV",
             "split": "Banded-split CsrMV (stacked)",
-            "hotcold": "Hot/cold-split CsrMV"}.get(backend, backend)
+            "hotcold": "Hot/cold-split CsrMV",
+            "dia": "DIA-split CsrMV"}.get(backend, backend)

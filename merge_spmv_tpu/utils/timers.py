@@ -314,6 +314,53 @@ def hotcold_operator_step_fn(hop):
     return lambda xc: _step(xc, arr_parts)
 
 
+def dia_operator_step_fn(dop):
+    """Chained-timing step for a DiaSpmvOperator (ops/dia.py): the D
+    statically-shifted fused multiply-adds plus (when present) the
+    leftover merge launch in ONE jit, arrays as jit ARGUMENTS."""
+    import jax
+    import jax.numpy as jnp
+
+    if dop.vtab is None:
+        return operator_step_fn(dop.rest_op)
+
+    m, n = dop.num_rows, dop.num_cols
+    offs = tuple(int(o) for o in dop.offsets)
+    lp, rp = dop._lpad, dop._rpad
+    rest = dop.rest_op
+    rest_arrs = ()
+    rest_static = None
+    if rest is not None:
+        from merge_spmv_tpu.ops.csrmv_pallas import _prepared_call
+        assert (getattr(rest, "_prep", None) is not None
+                and rest.plan.backend == "pallas"), \
+            "dia step requires a prepared pallas leftover operator"
+        prep = rest._prep
+        rest_static = (rest._plan32, prep.meta_is_list)
+        rest_arrs = (prep.values_p, prep.cols_p, prep.rowends_p,
+                     prep.tile_rows, prep.tile_nnz, prep.cbase,
+                     prep.tile_flags, prep.meta, prep.rowmeta)
+
+    @jax.jit
+    def _step(xc, vtab, ra):
+        xp = jnp.pad(xc.astype(vtab.dtype), (lp, rp))
+        y = jnp.zeros((m,), vtab.dtype)
+        for i, off in enumerate(offs):
+            s = lp + off
+            y = y + vtab[i] * xp[s:s + m]
+        if rest_static is not None:
+            p32, mil = rest_static
+            y = _prepared_call(
+                p32, *ra[:8], xc, y, jnp.float32(1.0), jnp.float32(1.0),
+                ra[8], meta_is_list=mil, alpha_one=True, interpret=False)
+        y = y.astype(xc.dtype)
+        if m >= n:
+            return xc + y[:n] * 1e-20
+        return xc + jnp.pad(y, (0, n - m)) * 1e-20
+
+    return lambda xc: _step(xc, dop.vtab, rest_arrs)
+
+
 def chain_through(y_to_x_scale=1e-12):
     """Helper making a chain step from an (args -> y) function when x and y
     have different shapes: x' = x * (1 + tanh(sum(y)) * scale)."""

@@ -19,8 +19,10 @@ Options:
                                      "split" adds the banded-split
                                      stacked operator, "hotcold" the
                                      popularity hot/cold column split
-                                     (both ops/split.py, opt-in setup
-                                     cost reported like HYB conversion)
+                                     (both ops/split.py), "dia" the
+                                     diagonal-structure split
+                                     (ops/dia.py) — opt-in setup cost
+                                     reported like HYB conversion
     --tile-items=<n>                 merge items per Pallas tile
     --gather-group=<n>               blocks per gather-group visit (>1:
                                      fetch-amortized union window lists)

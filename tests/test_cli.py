@@ -118,6 +118,14 @@ def test_cli_split_backend_runs():
     assert results["split"]["verified"]
 
 
+def test_cli_dia_backend_runs():
+    """--backends=dia drives the diagonal split end to end; grid2d is
+    pure stencil so the whole multiply is the D-shifted-FMA path."""
+    results, _ = _run({"grid2d": 60, "fp32": True, "quiet": True,
+                       "backends": ["dia"], "i": 3})
+    assert results["dia"]["verified"]
+
+
 def test_cli_hotcold_backend_runs():
     """--backends=hotcold drives the popularity split end to end.  The
     generator's columns are uniform so the hot set declines and the
