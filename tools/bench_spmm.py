@@ -104,6 +104,47 @@ def main():
     out["wide_speedup"] = round(ms_c / ms_w, 1)
     print(json.dumps({"wide_speedup": out["wide_speedup"]}))
 
+    # DIA split (opt-in structured path): grid3d is pure stencil, so
+    # this measures the D-shifted-FMA SpMM ceiling on the same shape
+    try:
+        from merge_spmv_tpu.ops.dia import build_dia_operator
+        t0 = time.time()
+        dop = build_dia_operator(csr, dtype="float32")
+        if dop.vtab is not None:
+            Y3 = dop.mm(Xd)
+            jax.block_until_ready(Y3)
+            ok3 = compare_results(np.asarray(Y3), gold, verbose=False,
+                                  abs_bound=bound) is None
+
+            vt = dop.vtab
+            offs = tuple(int(o) for o in dop.offsets)
+            lp, rp = dop._lpad, dop._rpad
+            m = dop.num_rows
+
+            @jax.jit
+            def step_d(xc, vt):
+                Xp = jnp.pad(xc, ((lp, rp), (0, 0)))
+                acc = jnp.zeros((m, xc.shape[1]), vt.dtype)
+                for i, off in enumerate(offs):
+                    s = lp + off
+                    acc = acc + vt[i][:, None] * Xp[s:s + m]
+                return xc + acc[:xc.shape[0]] * 1e-20
+
+            ms_d = chained_kernel_ms(lambda xc: step_d(xc, vt), Xd,
+                                     n=20, reps=3)
+            gf_d = 2 * k * csr.num_nonzeros / ms_d / 1e6
+            print(f"dia:    {ms_d:8.3f} ms  {gf_d:7.1f} GFLOP/s  "
+                  f"{bytesM/ms_d/1e6:6.1f} GB/s eff "
+                  f"({'PASS' if ok3 else 'FAIL'}, D={len(offs)}, "
+                  f"setup {time.time()-t0:.0f}s)", flush=True)
+            out["dia"] = {"avg_ms": round(ms_d, 3),
+                          "gflops": round(gf_d, 1), "verified": ok3,
+                          "diagonals": len(offs),
+                          "setup_ms": round(dop.setup_ms, 0)}
+    except Exception as e:  # noqa: BLE001
+        print(f"dia spmm failed: {str(e)[:200]}", flush=True)
+        out["dia"] = {"error": str(e)[:200]}
+
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH_SPMM.json")
     with open(path, "w") as f:
