@@ -100,6 +100,36 @@ def main():
         "effective_gbps": round(gbps, 3),
         "backend": backend,
     }
+    # 1b. DIA split on the same stencil — the opt-in structured fast
+    # path (cuSPARSE-HybMV analog, ops/dia.py); the merge headline above
+    # stands on its own, this shows the framework's structured ceiling
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        from merge_spmv_tpu.ops.dia import build_dia_operator
+        from merge_spmv_tpu.utils.compare import compare_results
+        from merge_spmv_tpu.utils.timers import dia_operator_step_fn
+        dop = build_dia_operator(csr, dtype="float32")
+        if dop.vtab is not None and dop.rest_op is None:
+            xd = jnp.ones((n,), jnp.float32)
+            yd = dop(xd)
+            jax.block_until_ready(yd)
+            gold = csr.spmv_gold(np.ones(n, np.float32))
+            bound = csr.spmv_abs_bound(np.ones(n, np.float32))
+            ok = compare_results(np.asarray(yd), gold,
+                                 abs_bound=bound) is None
+            ms_d = chained_kernel_ms(dia_operator_step_fn(dop), xd,
+                                     n=200, reps=5)
+            out["dia_grid3d100_ms"] = round(ms_d, 4)
+            out["dia_grid3d100_gflops"] = round(2 * nnz / ms_d / 1e6, 2)
+            out["dia_grid3d100_effective_gbps"] = round(
+                (nnz * 12 + n * 8) / ms_d / 1e6, 1)
+            out["dia_verified"] = ok
+            out["dia_setup_ms"] = round(dop.setup_ms, 0)
+            del dop
+    except Exception as e:  # noqa: BLE001
+        out["dia_error"] = str(e)[:160]
     del csr
 
     # 2. skew pair at 2^19 rows (the item the headline can't see): per-nnz
