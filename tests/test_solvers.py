@@ -99,3 +99,18 @@ def test_pagerank_sums_to_one_and_ranks_hub():
     pr = np.asarray(pr)
     assert abs(pr.sum() - 1.0) < 1e-3
     assert pr.argmax() == 0
+
+
+def test_conjugate_gradient_over_dia_operator():
+    """The structured-path operators expose the same call surface, so the
+    solver family composes with them unchanged (ops/dia.py)."""
+    from merge_spmv_tpu.ops.dia import build_dia_operator
+    csr, dense = _laplacian_csr(10)
+    op = build_dia_operator(csr.astype(np.float32), dtype="float32")
+    assert op.offsets.size == 5 and op.rest_op is None
+    rs = np.random.RandomState(1)
+    b = rs.uniform(-1, 1, csr.num_rows).astype(np.float32)
+    x, info = conjugate_gradient(op, b, tol=1e-6, maxiter=2000)
+    want = np.linalg.solve(dense, b.astype(np.float64))
+    np.testing.assert_allclose(np.asarray(x), want, rtol=2e-3, atol=2e-3)
+    assert int(info.iterations) > 0
