@@ -65,8 +65,14 @@ def banded(n, deg, sigma, seed, dtype):
 
 
 def powerlaw_web(n, nnz, local_frac, spread, seed, dtype, alpha=1.2):
-    """Web-graph stand-in: heavy-tail row degrees (pareto alpha), columns
-    a local/global mix (webbase class: some global hub links)."""
+    """Web-graph stand-in: heavy-tail row degrees (pareto alpha) AND
+    heavy-tail global-link targets — real web graphs have power-law
+    IN-degree too (popular pages are hub columns), which is the property
+    the hot/cold popularity split keys on.  Columns are a local/global
+    mix (webbase class); the global share samples a Zipf-ranked random
+    permutation of pages instead of the uniform draw an earlier version
+    used (uniform global columns have no hubs and misrepresent the
+    class)."""
     import numpy as np
     rs = np.random.RandomState(seed)
     raw = rs.pareto(alpha, n) + 1.0
@@ -74,10 +80,14 @@ def powerlaw_web(n, nnz, local_frac, spread, seed, dtype, alpha=1.2):
     rows = np.repeat(np.arange(n, dtype=np.int64), deg)
     m = rows.size
     local = rs.random(m) < local_frac
+    # Zipf-popular global targets: rank ~ floor(pareto), page identity
+    # randomized so hubs land anywhere in the column space
+    perm = rs.permutation(n).astype(np.int64)
+    rank = np.minimum((rs.pareto(0.7, m) * 1.5).astype(np.int64), n - 1)
     cols = np.where(
         local,
         np.clip(rows + rs.randint(-spread, spread + 1, m), 0, n - 1),
-        rs.randint(0, n, m))
+        perm[rank])
     vals = rs.uniform(-1.0, 1.0, m).astype(dtype)
     return rows, cols, vals
 
