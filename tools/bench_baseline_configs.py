@@ -256,7 +256,12 @@ def main():
             # hot/cold popularity split A/B on the same matrix (the
             # mechanism for powerlaw columns; VERDICT round-2 item 2)
             print("== wb_edu_class hot/cold split ==", flush=True)
-            results["wb_edu_class_hotcold"] = run_hotcold(csr, chains=6)
+            try:
+                results["wb_edu_class_hotcold"] = run_hotcold(csr, chains=6)
+            except Exception as e:  # noqa: BLE001
+                import traceback
+                traceback.print_exc()
+                results["wb_edu_class_hotcold"] = {"error": str(e)[:200]}
         # the skew-invariance check across the pair (per-nnz rates)
         a = results["webbase_1M_class"]
         b = results["wb_edu_class"]
