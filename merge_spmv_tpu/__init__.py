@@ -26,8 +26,11 @@ from merge_spmv_tpu.ops.plan import SpmvPlan, make_plan
 from merge_spmv_tpu.ops.csrmv import csrmv, csrmm
 from merge_spmv_tpu.ops.operator import SpmvOperator, build_operator
 from merge_spmv_tpu.ops.merge_path import merge_path_search, merge_tile_coordinates
+from merge_spmv_tpu.ops.dia import build_dia_operator
+from merge_spmv_tpu.ops.split import build_hotcold_operator, build_split_operator
+from merge_spmv_tpu.ops.suggest import build_suggested, suggest_backend
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "CooMatrix",
@@ -36,6 +39,11 @@ __all__ = [
     "SpmvPlan",
     "SpmvOperator",
     "build_operator",
+    "build_dia_operator",
+    "build_hotcold_operator",
+    "build_split_operator",
+    "build_suggested",
+    "suggest_backend",
     "make_plan",
     "csrmv",
     "csrmm",
