@@ -96,6 +96,20 @@ def main(argv=None):
     gens["banded_30k_bw200"] = lambda: banded(30000, 200, 6, 9)
     gens["banded_200k_bw1k"] = lambda: banded(200000, 1000, 5, 10)
 
+    def hub_cols(n, hubs, hub_frac, deg, seed):
+        """Power-law IN-degree (hub columns): the kron/webbase column
+        class the hot/cold split keys on — here swept on the default
+        merge path like every other corpus row."""
+        r = np.random.RandomState(seed)
+        rows = np.repeat(np.arange(n, dtype=np.int64), deg)
+        hub = r.choice(n, hubs, replace=False)
+        is_hub = r.random(rows.size) < hub_frac
+        cols = np.where(is_hub, hub[r.randint(0, hubs, rows.size)],
+                        r.randint(0, n, rows.size))
+        return CooMatrix(n, n, rows, cols, r.uniform(0.1, 1, rows.size))
+
+    gens["hubcols_60k"] = lambda: hub_cols(60000, 120, 0.6, 8, 11)
+
     for name, gen in sorted(gens.items()):
         path = os.path.join(args.out_dir, name + ".mtx")
         if os.path.exists(path):
