@@ -121,6 +121,17 @@ def _verify(name, y, gold, quiet, abs_bound=None):
     return idx
 
 
+def _generic_step(op, csr, jax, jnp):
+    """Jitted chained-timing step over an operator __call__ (used when a
+    backend has no prepared arrays-as-arguments fast path)."""
+    def step(xc, _op=op):
+        y = _op(xc).astype(xc.dtype)
+        if csr.num_rows >= csr.num_cols:
+            return xc + y[:csr.num_cols] * 1e-20
+        return xc + jnp.pad(y, (0, csr.num_cols - csr.num_rows)) * 1e-20
+    return jax.jit(step)
+
+
 def _bench_device_backend(backend, csr, x, gold, args, abs_bound=None):
     """Verify + time a device backend (operator dispatch path)."""
     import jax
@@ -207,13 +218,7 @@ def _bench_device_backend(backend, csr, x, gold, args, abs_bound=None):
                 step = split_operator_step_fn(op)
             else:
                 # stacked plan fell back to XLA (off-TPU): generic step
-                def step(xc, _op=op):
-                    y = _op(xc).astype(xc.dtype)
-                    if csr.num_rows >= csr.num_cols:
-                        return xc + y[:csr.num_cols] * 1e-20
-                    return xc + jnp.pad(
-                        y, (0, csr.num_cols - csr.num_rows)) * 1e-20
-                step = jax.jit(step)
+                step = _generic_step(op, csr, jax, jnp)
         elif backend == "dia":
             if (op.rest_op is None
                     or (getattr(op.rest_op, "_prep", None) is not None
@@ -222,13 +227,7 @@ def _bench_device_backend(backend, csr, x, gold, args, abs_bound=None):
                 step = dia_operator_step_fn(op)
             else:
                 # leftover part fell off the pallas fast path
-                def step(xc, _op=op):
-                    y = _op(xc).astype(xc.dtype)
-                    if csr.num_rows >= csr.num_cols:
-                        return xc + y[:csr.num_cols] * 1e-20
-                    return xc + jnp.pad(
-                        y, (0, csr.num_cols - csr.num_rows)) * 1e-20
-                step = jax.jit(step)
+                step = _generic_step(op, csr, jax, jnp)
         elif backend == "hotcold":
             parts = [o for o in (op.hot_op, op.cold_op) if o is not None]
             if all(getattr(o, "_prep", None) is not None
@@ -238,13 +237,7 @@ def _bench_device_backend(backend, csr, x, gold, args, abs_bound=None):
                 step = hotcold_operator_step_fn(op)
             else:
                 # a part fell off the pallas fast path: generic step
-                def step(xc, _op=op):
-                    y = _op(xc).astype(xc.dtype)
-                    if csr.num_rows >= csr.num_cols:
-                        return xc + y[:csr.num_cols] * 1e-20
-                    return xc + jnp.pad(
-                        y, (0, csr.num_cols - csr.num_rows)) * 1e-20
-                step = jax.jit(step)
+                step = _generic_step(op, csr, jax, jnp)
         else:
             from merge_spmv_tpu.utils.timers import operator_step_fn
             step = operator_step_fn(op)

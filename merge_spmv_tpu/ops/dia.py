@@ -35,18 +35,14 @@ import numpy as np
 
 from merge_spmv_tpu.formats.csr import CsrMatrix
 
+from merge_spmv_tpu.ops.split import _row_ids, _subset_csr
+
 __all__ = ["diagonal_assignment", "DiaSpmvOperator", "build_dia_operator"]
 
 # offset histogram cap: a true-DIA matrix has a tiny offset range; a
 # range beyond this is scatter, not structure (the bincount below would
 # also allocate range*8 bytes)
 _RANGE_CAP = 1 << 24
-
-
-def _row_ids(csr: CsrMatrix) -> np.ndarray:
-    lens = np.diff(csr.row_offsets)
-    return np.repeat(np.arange(csr.num_rows, dtype=np.int32),
-                     lens).astype(np.int32, copy=False)
 
 
 def diagonal_assignment(csr: CsrMatrix, max_diags: int = 32,
@@ -122,13 +118,14 @@ class DiaSpmvOperator:
         jdt = jnp.dtype(dtype)
         if offsets.size:
             d = csr.col_indices.astype(np.int64, copy=False) - row_ids
-            vtab = np.zeros((offsets.size, m), np.float64)
-            for i, o in enumerate(offsets):
-                sel = mask & (d == o)
-                # bincount sums duplicates — same semantics as CSR gold
-                vtab[i] = np.bincount(row_ids[sel],
-                                      weights=csr.values[sel].astype(
-                                          np.float64), minlength=m)
+            # one bucketing pass: flat (diag_rank, row) bincount sums
+            # duplicates with the same semantics as the CSR gold (a
+            # per-diagonal mask loop would scan all nonzeros D times)
+            rank = np.searchsorted(offsets, d[mask])
+            flat = rank * m + row_ids[mask]
+            vtab = np.bincount(
+                flat, weights=csr.values[mask].astype(np.float64),
+                minlength=offsets.size * m).reshape(offsets.size, m)
             self.vtab = jnp.asarray(vtab.astype(jdt))
             # x is padded so x_pad[r + off - offsets.min() ... ] is always
             # in bounds: left pad max(0, -min_off), right pad to cover
@@ -138,24 +135,15 @@ class DiaSpmvOperator:
                                  - (csr.num_cols - 1)))
         if self.rest_nnz or not offsets.size:
             from merge_spmv_tpu.ops.operator import build_operator
-            rest = self._subset(csr, ~mask if offsets.size
-                                else np.ones(csr.num_nonzeros, bool),
-                                row_ids)
+            # declined ⇒ the original CSR is the rest; no copy
+            rest = (_subset_csr(csr, ~mask, row_ids) if offsets.size
+                    else csr)
             self.rest_op = build_operator(rest, dtype=dtype,
                                           tile_items=tile_items,
                                           backend=backend)
         self.plan = (self.rest_op.plan if self.rest_op is not None
                      else None)
         self.setup_ms = (time.perf_counter() - t0) * 1e3
-
-    @staticmethod
-    def _subset(csr: CsrMatrix, mask, row_ids) -> CsrMatrix:
-        counts = np.bincount(row_ids[mask], minlength=csr.num_rows)
-        ro = np.zeros(csr.num_rows + 1, dtype=csr.row_offsets.dtype)
-        np.cumsum(counts, out=ro[1:])
-        return CsrMatrix(csr.num_rows, csr.num_cols, ro,
-                         np.ascontiguousarray(csr.col_indices[mask]),
-                         np.ascontiguousarray(csr.values[mask]))
 
     def __call__(self, x, y_in=None, alpha=1.0, beta=0.0,
                  interpret: bool = False):

@@ -306,6 +306,8 @@ def popularity_assignment(csr: CsrMatrix,
     order preserves whatever original column locality the hot set has).
     Empty hot set ⇒ the split is not worth a second kernel launch.
     """
+    if csr.num_nonzeros == 0:
+        return np.zeros(0, bool), np.empty(0, np.int64)
     nwin = max(1, -(-csr.num_cols // 128))
     win = (csr.col_indices >> 7).astype(np.int32, copy=False)
     wcount = np.bincount(win, minlength=nwin)

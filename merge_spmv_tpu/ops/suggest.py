@@ -70,19 +70,31 @@ def suggest_backend(csr: CsrMatrix) -> dict:
 
 
 def build_suggested(csr: CsrMatrix, dtype="float32", **kwargs):
-    """Build the operator ``suggest_backend`` names (kwargs forwarded)."""
+    """Build the operator ``suggest_backend`` names.
+
+    ``kwargs`` are forwarded to whichever builder the probe picks, but
+    only those its signature accepts — the caller cannot know the
+    backend in advance (that is this function's whole point), so a
+    tuning kwarg for one backend must not crash another.
+    """
+    import inspect
+
     rec = suggest_backend(csr)
     b = rec["backend"]
     if b == "dia":
-        from merge_spmv_tpu.ops.dia import build_dia_operator
-        return build_dia_operator(csr, dtype=dtype, **kwargs), rec
-    if b == "hotcold":
-        from merge_spmv_tpu.ops.split import build_hotcold_operator
-        return build_hotcold_operator(csr, dtype=dtype, **kwargs), rec
-    if b == "split":
-        from merge_spmv_tpu.ops.split import build_split_operator
-        return build_split_operator(csr, dtype=dtype,
-                                    edges_chunks="quantile",
-                                    **kwargs), rec
-    from merge_spmv_tpu.ops.operator import build_operator
-    return build_operator(csr, dtype=dtype, **kwargs), rec
+        from merge_spmv_tpu.ops.dia import build_dia_operator as builder
+        extra = {}
+    elif b == "hotcold":
+        from merge_spmv_tpu.ops.split import (
+            build_hotcold_operator as builder)
+        extra = {}
+    elif b == "split":
+        from merge_spmv_tpu.ops.split import (
+            build_split_operator as builder)
+        extra = {"edges_chunks": "quantile"}
+    else:
+        from merge_spmv_tpu.ops.operator import build_operator as builder
+        extra = {}
+    accepted = set(inspect.signature(builder).parameters)
+    kw = {k: v for k, v in kwargs.items() if k in accepted}
+    return builder(csr, dtype=dtype, **extra, **kw), rec

@@ -234,7 +234,16 @@ def main():
         results["cant_class"] = run_csrmv("cant_class", csr, "float64")
         save()
 
+    # powerlaw_web generator version: bump when the generator changes so
+    # a resumed run never mixes measurements across matrix versions (the
+    # hotcold A/B and the pair ratio must compare the SAME matrices)
+    WB_GEN = 2
     wb_keys = {"webbase_1M_class", "wb_edu_class", "wb_edu_class_hotcold"}
+    for k in wb_keys:
+        if results.get(k, {}).get("gen") != WB_GEN and k in results:
+            print(f"(dropping stale {k}: generator version changed)",
+                  flush=True)
+            del results[k]
     if "webbase_pair" in want and not wb_keys <= results.keys():
         # webbase-1M: 1,000,005 rows, 3.1M nnz; wb-edu: 9,845,725 rows,
         # 57.2M nnz — the power-law skew pair (config 2)
@@ -244,6 +253,7 @@ def main():
                                      np.float32), np.float32)
             results["webbase_1M_class"] = run_csrmv("webbase_1M_class", csr,
                                                     "float32", chains=20)
+            results["webbase_1M_class"]["gen"] = WB_GEN
             save()
         print("== wb_edu_class (fp32 powerlaw web, 57M nnz) ==", flush=True)
         csr = build(powerlaw_web(9_845_725, 57_156_537, 0.95, 32768, 13,
@@ -251,6 +261,7 @@ def main():
         if "wb_edu_class" not in results:
             results["wb_edu_class"] = run_csrmv("wb_edu_class", csr,
                                                 "float32", chains=6)
+            results["wb_edu_class"]["gen"] = WB_GEN
             save()
         if "wb_edu_class_hotcold" not in results:
             # hot/cold popularity split A/B on the same matrix (the
@@ -262,6 +273,7 @@ def main():
                 import traceback
                 traceback.print_exc()
                 results["wb_edu_class_hotcold"] = {"error": str(e)[:200]}
+            results["wb_edu_class_hotcold"]["gen"] = WB_GEN
         # the skew-invariance check across the pair (per-nnz rates)
         a = results["webbase_1M_class"]
         b = results["wb_edu_class"]

@@ -61,12 +61,14 @@ for G, T, RE in combos:
               f"{ms:.3f} ms {gbps:.1f} GB/s "
               f"verify={'PASS' if ok else 'FAIL'} "
               f"(setup+compile {time.time()-t0:.0f}s)", flush=True)
-        out[f"G{G}_T{T}"] = {"ms": round(ms, 4), "gbps": round(gbps, 1),
-                             "ok": ok, "plan_G": op.plan.gather_group,
-                             "K": op.plan.meta_k}
+        key = f"G{G}_T{T}" + ("" if RE is None else f"_RE{int(RE)}")
+        out[key] = {"ms": round(ms, 4), "gbps": round(gbps, 1),
+                    "ok": ok, "plan_G": op.plan.gather_group,
+                    "K": op.plan.meta_k}
     except Exception as e:  # noqa: BLE001
         print(f"G={G} T={T} failed: {str(e)[:200]}", flush=True)
-        out[f"G{G}_T{T}"] = {"error": str(e)[:200]}
+        key = f"G{G}_T{T}" + ("" if RE is None else f"_RE{int(RE)}")
+        out[key] = {"error": str(e)[:200]}
 print(json.dumps(out))
 with open("/tmp/gt_sweep_result.json", "w") as f:
     json.dump(out, f)
