@@ -100,3 +100,36 @@ def test_dia_operator_duplicates_summed():
     y = op(jnp.asarray(x), interpret=True)
     gold = csr.spmv_gold(x)
     assert np.allclose(np.asarray(y), gold, rtol=1e-6)
+
+
+def test_dia_operator_rectangular():
+    # m != n with off-diagonals: padding/shift math must stay in bounds
+    m, n = 300, 400
+    rows = np.concatenate([np.arange(m), np.arange(m)]).astype(np.int64)
+    cols = np.concatenate([np.arange(m), np.arange(m) + 50]).astype(np.int64)
+    vals = np.random.RandomState(0).uniform(-1, 1, 2 * m)
+    csr = CsrMatrix.from_coo(CooMatrix(m, n, rows, cols, vals)
+                             ).astype(np.float32)
+    import jax.numpy as jnp
+    op = build_dia_operator(csr, dtype="float32")
+    assert set(op.offsets.tolist()) == {0, 50} and op.rest_op is None
+    x = np.random.RandomState(1).uniform(-1, 1, n).astype(np.float32)
+    y = op(jnp.asarray(x))
+    gold = csr.spmv_gold(x)
+    assert np.allclose(np.asarray(y), gold, rtol=1e-5, atol=1e-6)
+
+
+def test_dia_operator_fp64():
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    try:
+        import jax.numpy as jnp
+        csr = CsrMatrix.from_coo(CooMatrix.grid2d(20)).astype(np.float64)
+        op = build_dia_operator(csr, dtype="float64")
+        assert op.vtab.dtype == jnp.float64
+        x = np.random.RandomState(2).uniform(-1, 1, csr.num_cols)
+        y = op(jnp.asarray(x))
+        gold = csr.spmv_gold(x)
+        np.testing.assert_allclose(np.asarray(y), gold, rtol=1e-12)
+    finally:
+        jax.config.update("jax_enable_x64", False)
