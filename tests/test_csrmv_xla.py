@@ -91,3 +91,25 @@ def test_empty_matrix():
                 jnp.asarray(csr.row_end_offsets),
                 jnp.zeros(0, jnp.int32), jnp.ones(3, jnp.float32))
     np.testing.assert_array_equal(np.asarray(got), np.zeros(3))
+
+
+def test_bf16_operator_end_to_end():
+    """bfloat16 values flow through the plan ladder and operator (fp32
+    accumulate inside; the TPU plan keys bf16 like fp32, plan.py:178)."""
+    import ml_dtypes
+    import jax.numpy as jnp
+    import numpy as np
+
+    from merge_spmv_tpu.formats.coo import CooMatrix
+    from merge_spmv_tpu.formats.csr import CsrMatrix
+    from merge_spmv_tpu.ops.operator import build_operator
+
+    csr = CsrMatrix.from_coo(CooMatrix.grid2d(30))
+    op = build_operator(csr.astype(ml_dtypes.bfloat16), dtype="bfloat16")
+    x = jnp.ones((csr.num_cols,), jnp.bfloat16)
+    y = op(x, interpret=True)
+    assert y.dtype == jnp.bfloat16
+    gold = csr.astype(np.float32).spmv_gold(
+        np.ones(csr.num_cols, np.float32))
+    # integer-valued stencil sums are exactly representable in bf16
+    assert np.max(np.abs(np.asarray(y, np.float32) - gold)) == 0.0
