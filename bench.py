@@ -119,8 +119,24 @@ def main():
             bound = csr.spmv_abs_bound(np.ones(n, np.float32))
             ok = compare_results(np.asarray(yd), gold,
                                  abs_bound=bound) is None
-            ms_d = chained_kernel_ms(dia_operator_step_fn(dop), xd,
-                                     n=200, reps=5)
+            # the DIA multiply is ~100x faster than a tunnel dispatch:
+            # chain IN-GRAPH (one dispatch runs the whole chain) so
+            # per-dispatch enqueue cost cannot pollute the per-step time
+            step1 = dia_operator_step_fn(dop)
+
+            def chain_ms(steps, reps=5):
+                import jax.lax as lax
+                fn = jax.jit(lambda x0: lax.fori_loop(
+                    0, steps, lambda i, xc: step1(xc), x0))
+                t = 1e30
+                _ = np.asarray(fn(xd)[:1])
+                for _i in range(reps):
+                    t0 = time.time()
+                    _ = np.asarray(fn(xd)[:1])
+                    t = min(t, time.time() - t0)
+                return t * 1e3
+
+            ms_d = max((chain_ms(256) - chain_ms(1)) / 255, 1e-6)
             out["dia_grid3d100_ms"] = round(ms_d, 4)
             out["dia_grid3d100_gflops"] = round(2 * nnz / ms_d / 1e6, 2)
             out["dia_grid3d100_effective_gbps"] = round(
