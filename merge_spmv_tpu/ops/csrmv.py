@@ -114,7 +114,7 @@ def _jitted_csrmm(plan: SpmvPlan, has_y_in: bool, has_meta: bool,
                   interpret: bool):
     if plan.backend == "pallas":
         from merge_spmv_tpu.ops import csrmv_pallas as _pallas
-        kernel = functools.partial(_pallas.csrmm_pallas, plan,
+        kernel = functools.partial(_pallas.csrmm_column_loop, plan,
                                    interpret=interpret)
     else:
         kernel = None

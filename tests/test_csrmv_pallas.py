@@ -101,7 +101,7 @@ def test_auto_plan_routes_pallas_on_tpu():
 
 
 def test_csrmm_pallas_vs_gold():
-    from merge_spmv_tpu.ops.csrmv_pallas import csrmm_pallas
+    from merge_spmv_tpu.ops.csrmv_pallas import csrmm_column_loop
 
     coo = CASES["powerlaw"]()
     csr = CsrMatrix.from_coo(coo).astype(np.float32)
@@ -111,7 +111,7 @@ def test_csrmm_pallas_vs_gold():
     Y_in = rs.uniform(0.1, 1, (csr.num_rows, 3)).astype(np.float32)
     plan = make_plan(csr.num_rows, csr.num_cols, csr.num_nonzeros,
                      dtype=np.float32, tile_items=2048, backend="pallas")
-    got = csrmm_pallas(plan, *csr.to_device(dtype=np.float32),
+    got = csrmm_column_loop(plan, *csr.to_device(dtype=np.float32),
                        jnp.asarray(X), Y_in=jnp.asarray(Y_in),
                        alpha=1.5, beta=0.5, interpret=INTERPRET)
     want = csr.spmm_gold(X, Y_in, alpha=1.5, beta=0.5)

@@ -119,5 +119,5 @@ if best:
 out["reference_k40_merge_ms"] = 6.92
 out["reference_cpu_merge_ms"] = 12.64
 with open("/root/repo/BENCH_LARGE.json", "w") as f:
-    json.dump(out, f, indent=1)
+    json.dump(out, f, indent=1); f.write("\n")
 print(json.dumps(out), flush=True)

@@ -220,7 +220,7 @@ def main():
 
     def save():
         with open(OUT, "w") as f:
-            json.dump(results, f, indent=1)
+            json.dump(results, f, indent=1); f.write("\n")
 
     def build(gen_args, dtype):
         r_, c_, v_ = gen_args

@@ -114,7 +114,7 @@ def main():
         out["hotcold_speedup"] = round(ms / ms2, 2)
 
     with open(OUT, "w") as f:
-        json.dump(out, f, indent=1)
+        json.dump(out, f, indent=1); f.write("\n")
     print(json.dumps(out), flush=True)
     return 0
 

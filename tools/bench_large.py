@@ -203,7 +203,7 @@ def main():
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH_LARGE.json")
     with open(path, "w") as f:
-        json.dump(out, f, indent=1)
+        json.dump(out, f, indent=1); f.write("\n")
     print(json.dumps(out))
     return 0
 

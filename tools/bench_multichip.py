@@ -224,7 +224,7 @@ def main():
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "WEAKSCALING.json")
     with open(path, "w") as f:
-        json.dump(out, f, indent=1)
+        json.dump(out, f, indent=1); f.write("\n")
     print(json.dumps({"weak_scaling_efficiency": eff}))
     return 0
 

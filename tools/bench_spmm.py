@@ -26,7 +26,7 @@ def main():
     from merge_spmv_tpu.formats.csr import CsrMatrix
     from merge_spmv_tpu.ops.csrmm_pallas import (csrmm_wide_prepared,
                                                  make_mm_plan, prepare_csrmm)
-    from merge_spmv_tpu.ops.csrmv_pallas import csrmm_pallas
+    from merge_spmv_tpu.ops.csrmv_pallas import csrmm_column_loop
     from merge_spmv_tpu.ops.operator import _build_packed_meta
     from merge_spmv_tpu.ops.plan import make_plan
     from merge_spmv_tpu.utils.compare import compare_results
@@ -86,13 +86,13 @@ def main():
     meta_c = _build_packed_meta(plan_c, csr.row_offsets[1:],
                                 csr.col_indices)
     v, re_, ci = csr.to_device(dtype=np.float32)
-    Y2 = csrmm_pallas(plan_c, v, re_, ci, Xd, meta=meta_c)
+    Y2 = csrmm_column_loop(plan_c, v, re_, ci, Xd, meta=meta_c)
     jax.block_until_ready(Y2)
     ok2 = compare_results(np.asarray(Y2), gold, verbose=False,
                           abs_bound=bound) is None
 
     def step_c(xc):
-        y = csrmm_pallas(plan_c, v, re_, ci, xc, meta=meta_c)
+        y = csrmm_column_loop(plan_c, v, re_, ci, xc, meta=meta_c)
         return xc + y[:xc.shape[0]] * 1e-20
 
     ms_c = chained_kernel_ms(jax.jit(step_c), Xd, n=4, reps=2)
@@ -148,7 +148,7 @@ def main():
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH_SPMM.json")
     with open(path, "w") as f:
-        json.dump(out, f, indent=1)
+        json.dump(out, f, indent=1); f.write("\n")
     return 0
 
 

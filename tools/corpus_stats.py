@@ -118,7 +118,7 @@ def main(argv=None):
         dst = os.path.join(os.path.dirname(os.path.abspath(paths[0])),
                            "CORPUS_STATS.json")
         with open(dst, "w") as f:
-            json.dump(out, f, indent=1)
+            json.dump(out, f, indent=1); f.write("\n")
         print(f"wrote {dst}")
     return 0
 
