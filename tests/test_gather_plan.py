@@ -121,7 +121,7 @@ def test_cluster_cover_exact_and_clamped():
     cols = np.clip(np.arange(n) % ncols + rs.randint(-400, 400, n),
                    0, ncols - 1)
     num_sub = 8 * -(-ncols // 1024)
-    bases, rels, widths = cluster_meta_np(cols, n, num_sub)
+    bases, rels, widths, spans = cluster_meta_np(cols, n, num_sub)
     assert bases.max() <= num_sub - 8
     assert len(widths) == bases.shape[1]
     _, lst = gather_meta_np(cols, n)
@@ -147,7 +147,7 @@ def test_cluster_pack_layout():
     rs = np.random.RandomState(5)
     n = 6000
     cols = rs.randint(0, 900, n)
-    bases, rels, widths = cluster_meta_np(cols, n, 8)
+    bases, rels, widths, spans = cluster_meta_np(cols, n, 8)
     tile_nnz = [0, 2048, 4096, n]
     T = 2048
     packed = pack_tile_cmeta_np(bases, rels, widths, tile_nnz, T)
