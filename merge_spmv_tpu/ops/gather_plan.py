@@ -149,19 +149,21 @@ def cluster_meta_np(col_indices, num_nonzeros: int, num_sub: int,
     Distinct windows cluster into a few contiguous runs on
     stencil/banded/FEM matrices (grid3d100: 8.5 distinct windows in
     exactly 3 runs per block) — so fetch 8 CONSECUTIVE window rows once
-    per cluster and serve each visit from the fetched register with a
-    dynamic barrel roll (pow2 sublanes: hardware rotate) instead of a
-    fresh VMEM fetch.
+    per cluster and serve offsets 0..span_c-1 of the fetched register
+    with STATIC sublane slices (round 4: the round-3 dynamic barrel-roll
+    serve measured 1.35x SLOWER than the list mode on chip; static slices
+    compile to register moves and need no per-visit roll or fetch).
 
-    Returns (bases (nb, C), rels (nb, C, W), widths tuple(C)) int32 with
-    -1 sentinels, or None when any block needs more than ``c_cap``
-    clusters.  Clusters are sorted per block by visit count DESCENDING and
-    ``widths[c]`` is the max visit count of slot c over all blocks — the
-    kernel unrolls slot c with exactly widths[c] visit bodies, so a narrow
-    second/third cluster does not pay the widest cluster's sentinel waste.
-    Bases are pre-clamped to [0, num_sub - 8] so the kernel's 8-row fetch
-    can never run off the packed x table; rels are relative to the CLAMPED
-    base (always in [0, 8)).
+    Returns (bases (nb, C), rels (nb, C, W), widths tuple(C),
+    spans tuple(C)) int32 with -1 sentinels, or None when any block needs
+    more than ``c_cap`` clusters.  Clusters are sorted per block by visit
+    count DESCENDING; ``widths[c]`` is the max visit count of slot c over
+    all blocks (governs the packed-record layout) and ``spans[c]`` is the
+    max rel+1 — the kernel statically serves every offset in
+    [base_c, base_c + spans[c]); offsets not in the block's real list
+    match no element and are harmless no-ops.  Bases are pre-clamped to
+    [0, num_sub - 8] so the kernel's 8-row fetch can never run off the
+    packed x table; rels are relative to the CLAMPED base (in [0, 8)).
     """
     if meta is None:
         meta = gather_meta_np(col_indices, num_nonzeros, shift=shift)
@@ -201,7 +203,9 @@ def cluster_meta_np(col_indices, num_nonzeros: int, num_sub: int,
     rels = np.take_along_axis(rels, order[:, :, None], axis=1)
     widths = tuple(int(x) for x in
                    np.maximum((rels >= 0).sum(axis=2).max(axis=0), 1))
-    return bases, rels, widths
+    spans = tuple(int(x) + 1 for x in
+                  np.maximum(rels.max(axis=(0, 2)), 0))
+    return bases, rels, widths, spans
 
 
 def cmeta_width(tile_items: int, widths) -> int:

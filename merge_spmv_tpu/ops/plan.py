@@ -87,10 +87,13 @@ class SpmvPlan:
                                 # once at t==0 like x): drops the per-step
                                 # row-end DMA — only values+columns stream
     cluster_widths: tuple = ()  # cluster-gather mode (non-empty enables):
-                                # per cluster slot, the static visit-unroll
-                                # width; one 8-row fetch per slot serves
-                                # its visits via in-register barrel rolls
-                                # (gather_plan.cluster_meta_np)
+                                # per cluster slot, the packed-record rel
+                                # width (gather_plan.cluster_meta_np)
+    cluster_spans: tuple = ()   # per cluster slot, the static serve span:
+                                # the kernel fetches 8 consecutive window
+                                # rows once per slot and serves offsets
+                                # 0..span-1 with STATIC sublane slices
+                                # (no per-visit fetch or roll)
 
     @property
     def num_merge_items(self) -> int:
@@ -111,7 +114,7 @@ class SpmvPlan:
 
     def describe(self) -> str:
         if self.cluster_widths:
-            gm = f"cluster{self.cluster_widths}"
+            gm = f"cluster{self.cluster_spans or self.cluster_widths}"
         elif self.gather_group > 1:
             gm = f"group{self.gather_group}"
         elif self.meta_k:
@@ -135,7 +138,7 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
               allow_x_streaming: bool = True,
               runtime_skip: Optional[bool] = None,
               gather_group: int = 1,
-              gather_cluster: bool = False,
+              gather_cluster=None,
               scratch: Optional[dict] = None) -> SpmvPlan:
     """Build an execution plan (phase 1 of the two-phase contract).
 
@@ -314,15 +317,29 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
     # are the same pattern the list mode already uses in branches) —
     # the skew pair must not regress relative to a cluster-fast uniform.
     cluster_widths: tuple = ()
-    if (gather_cluster and x_in_vmem and meta_k and meta_gran == 128
-            and gather_group == 1
+    cluster_spans: tuple = ()
+    # gather_cluster=None (the default) auto-enables the cluster mode when
+    # a cover exists AND the static op-count model predicts a win over the
+    # list mode (chip-measured grid3d100: cluster 0.515 vs list 0.536 ms).
+    auto_cluster = gather_cluster is None
+    if ((gather_cluster or auto_cluster) and x_in_vmem and meta_k
+            and meta_gran == 128 and gather_group == 1
             and col_indices is not None):
         from merge_spmv_tpu.ops.gather_plan import cluster_meta_np
         num_sub_x = 8 * max(1, -(-int(num_cols) // 1024))
         cm = cluster_meta_np(col_indices, num_nonzeros, num_sub_x,
                              meta=(scratch or {}).get("gmeta"))
+        if cm is not None and auto_cluster:
+            # per-block op model: list visit ~8 regops (dynamic fetch +
+            # broadcast + lane-gather + compare + select); cluster slot
+            # ~5.5 (fetch + screl) + 4 per served span offset
+            list_ops = 8.0 * meta_k
+            clu_ops = sum(5.5 + 4.0 * s for s in cm[3])
+            if clu_ops >= list_ops:
+                cm = None
         if cm is not None:
             cluster_widths = cm[2]
+            cluster_spans = cm[3]
             if scratch is not None:
                 scratch["cmeta"] = cm
 
@@ -364,4 +381,5 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
         gather_group=int(gather_group),
         rowends_vmem=bool(rowends_vmem),
         cluster_widths=tuple(cluster_widths),
+        cluster_spans=tuple(cluster_spans),
     )

@@ -133,6 +133,81 @@ def chained_rate_ms(step_fn, x0, n1: int = 5, n2: int = 20, reps: int = 3,
         n1, n2 = n1 * 2, n2 * 2
 
 
+def ingraph_rate_ms(step_fn, x0, steps: int = 64, reps: int = 5,
+                    jitter_floor_ms: float = 50.0, max_steps: int = 4096,
+                    return_info: bool = False):
+    """Per-iteration milliseconds via an IN-GRAPH ``lax.fori_loop`` chain.
+
+    ``chained_rate_ms`` issues one dispatch per iteration; consecutive
+    enqueues pipeline, so the measured rate absorbs the CURRENT per-dispatch
+    cost of the remote tunnel — which drifts by 100s of microseconds
+    between sessions (round-4 measured the same kernel at 0.50 and 0.78 ms
+    minutes apart this way).  Here ONE dispatch runs the whole chain on
+    device (the pattern bench.py already used for the sub-dispatch-cost DIA
+    kernel), so only device time is in the difference
+    ``t(chain(steps)) - t(chain(1))``.
+
+    ``step_fn`` must be traceable (jit-of-jit is fine) and make iteration
+    k+1 data-depend on iteration k.  Costs two extra compiles (the two
+    chain lengths).  Returns NaN when the difference never clears
+    ``jitter_floor_ms`` (then report below-resolution, never a rate).
+
+    ``jitter_floor_ms`` defaults to 50 ms — the single-dispatch baseline
+    carries the tunnel's per-dispatch jitter (±8 ms observed), so the
+    chain difference must dwarf it or the rate inherits up to
+    jitter/steps of error (a 64-step chain of a 0.5 ms kernel measured
+    0.26-0.54 ms for the same plan before this floor).
+
+    When ``step_fn`` carries ``.raw``/``.args`` attributes (every
+    *_step_fn builder in this module attaches them), the matrix arrays
+    ride as jit ARGUMENTS of the chain — a closure capture would embed
+    them in the remote-compile payload (HTTP 413 at circuit5M scale).
+    """
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    import numpy as np
+
+    raw = getattr(step_fn, "raw", None)
+    args = getattr(step_fn, "args", ())
+
+    def compile_chain(n):
+        if raw is not None:
+            fn = jax.jit(lambda x, *a: jax.lax.fori_loop(
+                0, n, lambda i, xc: raw(xc, *a), x))
+        else:
+            fn = jax.jit(lambda x, *a: jax.lax.fori_loop(
+                0, n, lambda i, xc: step_fn(xc), x))
+        np.asarray(jax.device_get(jnp.sum(fn(x0, *args))))   # compile + warm
+        return fn
+
+    def timed(fn):
+        t0 = _time.perf_counter()
+        np.asarray(jax.device_get(jnp.sum(fn(x0, *args))))
+        return _time.perf_counter() - t0
+
+    fn1 = compile_chain(1)
+    while True:
+        fn_n = compile_chain(steps)
+        # interleave the two lengths so a congestion burst on the tunnel
+        # cannot hit only one of them (consecutive same-length reps are
+        # not independent samples)
+        one = big = 1e30
+        for _ in range(reps):
+            one = min(one, timed(fn1))
+            big = min(big, timed(fn_n))
+        diff_ms = (big - one) * 1e3
+        if diff_ms >= jitter_floor_ms:
+            ms = diff_ms / (steps - 1)
+            return (ms, True, steps) if return_info else ms
+        if steps >= max_steps:
+            ms = float("nan") if diff_ms <= 0 else diff_ms / (steps - 1)
+            return (ms, False, steps) if return_info else float("nan")
+        steps *= 2
+
+
 def operator_step_fn(op):
     """Chained-timing step for a SpmvOperator with the matrix arrays passed
     as jit ARGUMENTS.
@@ -174,7 +249,9 @@ def operator_step_fn(op):
 
         if rowmeta is not None:
             arrs = arrs + (rowmeta,)
-        return lambda xc: _step(xc, *arrs)
+        step = lambda xc: _step(xc, *arrs)   # noqa: E731
+        step.raw, step.args = _step, arrs
+        return step
 
     if getattr(op, "_prep", None) is not None and plan.backend == "pallas_ds":
         # prepared double-single route: three fp32 passes over the
@@ -211,7 +288,9 @@ def operator_step_fn(op):
 
         if rowmeta is not None:
             arrs = arrs + (rowmeta,)
-        return lambda xc: _step_ds(xc, *arrs)
+        step = lambda xc: _step_ds(xc, *arrs)   # noqa: E731
+        step.raw, step.args = _step_ds, arrs
+        return step
 
     # generic fallback: arrays as arguments through the csrmv dispatcher
     from merge_spmv_tpu.ops.csrmv import csrmv
@@ -228,8 +307,12 @@ def operator_step_fn(op):
     has_meta = meta is not None
     if not has_meta:
         meta = jnp.zeros((1,), jnp.int32)
-    return lambda xc: _step2(xc, op.values, op.row_end_offsets,
+    step = lambda xc: _step2(xc, op.values, op.row_end_offsets,  # noqa: E731
                              op.col_indices, meta, has_meta=has_meta)
+    step.raw = lambda xc, v, re_, ci, mt: _step2(xc, v, re_, ci, mt,
+                                                 has_meta=has_meta)
+    step.args = (op.values, op.row_end_offsets, op.col_indices, meta)
+    return step
 
 
 def split_operator_step_fn(sop):
@@ -268,7 +351,9 @@ def split_operator_step_fn(sop):
             return xc + y[:ncols] * 1e-20
         return xc + jnp.pad(y, (0, ncols - m)) * 1e-20
 
-    return lambda xc: _step(xc, *arrs)
+    step = lambda xc: _step(xc, *arrs)   # noqa: E731
+    step.raw, step.args = _step, tuple(arrs)
+    return step
 
 
 def hotcold_operator_step_fn(hop):
@@ -311,7 +396,9 @@ def hotcold_operator_step_fn(hop):
             return xc + y[:n] * 1e-20
         return xc + jnp.pad(y, (0, n - m)) * 1e-20
 
-    return lambda xc: _step(xc, arr_parts)
+    step = lambda xc: _step(xc, arr_parts)   # noqa: E731
+    step.raw, step.args = _step, (arr_parts,)
+    return step
 
 
 def dia_operator_step_fn(dop):
@@ -358,7 +445,9 @@ def dia_operator_step_fn(dop):
             return xc + y[:n] * 1e-20
         return xc + jnp.pad(y, (0, n - m)) * 1e-20
 
-    return lambda xc: _step(xc, dop.vtab, rest_arrs)
+    step = lambda xc: _step(xc, dop.vtab, rest_arrs)   # noqa: E731
+    step.raw, step.args = _step, (dop.vtab, rest_arrs)
+    return step
 
 
 def chain_through(y_to_x_scale=1e-12):

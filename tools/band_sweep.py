@@ -23,7 +23,7 @@ from merge_spmv_tpu.ops.operator import build_operator  # noqa: E402
 from merge_spmv_tpu.ops.split import SplitSpmvOperator  # noqa: E402
 from merge_spmv_tpu.utils.compare import compare_results  # noqa: E402
 from merge_spmv_tpu.utils.device import peak_hbm_bandwidth  # noqa: E402
-from merge_spmv_tpu.utils.timers import (chained_rate_ms,  # noqa: E402
+from merge_spmv_tpu.utils.timers import (ingraph_rate_ms,  # noqa: E402
                                          operator_step_fn,
                                          split_operator_step_fn)
 
@@ -63,7 +63,7 @@ jax.block_until_ready(y)
 print("plan:", op.plan.describe(), "x_win", op.plan.x_win,
       "setup_s", op.setup_s, flush=True)
 ok = compare_results(np.asarray(y), gold, verbose=True) is None
-ms = chained_rate_ms(operator_step_fn(op), xd)
+ms = ingraph_rate_ms(operator_step_fn(op), xd, steps=16)
 gbps = total_bytes / ms / 1e6
 print(f"merge: verify={'PASS' if ok else 'FAIL'} {ms:.3f} ms "
       f"{gbps:.1f} GB/s ({100*gbps/peak:.1f}% peak) "
@@ -87,7 +87,7 @@ for nb in configs:
         y_s = sop(xd)
         jax.block_until_ready(y_s)
         ok_s = compare_results(np.asarray(y_s), gold, verbose=True) is None
-        ms_s = chained_rate_ms(split_operator_step_fn(sop), xd)
+        ms_s = ingraph_rate_ms(split_operator_step_fn(sop), xd, steps=16)
         gbps_s = total_bytes / ms_s / 1e6
         print(f"split B={sop.num_bands}: verify={'PASS' if ok_s else 'FAIL'} "
               f"{ms_s:.3f} ms {gbps_s:.1f} GB/s "
@@ -111,6 +111,33 @@ for nb in configs:
 out["split_sweep"] = sweep
 if best:
     out["split"] = best
+
+# hot/cold popularity split on the same matrix (the round-2 prescription
+# for this class; ops/split.py popularity_assignment)
+try:
+    from merge_spmv_tpu.ops.split import build_hotcold_operator
+    from merge_spmv_tpu.utils.timers import hotcold_operator_step_fn
+    t0 = time.time()
+    hop = build_hotcold_operator(csr, dtype="float32")
+    y_h = hop(xd)
+    jax.block_until_ready(y_h)
+    ok_h = compare_results(np.asarray(y_h), gold, verbose=True) is None
+    ms_h = ingraph_rate_ms(hotcold_operator_step_fn(hop), xd, steps=16)
+    gbps_h = total_bytes / ms_h / 1e6
+    print(f"hotcold: verify={'PASS' if ok_h else 'FAIL'} {ms_h:.3f} ms "
+          f"{gbps_h:.1f} GB/s ({100*gbps_h/peak:.1f}% peak) "
+          f"setup={hop.setup_ms:.0f}ms (total {time.time()-t0:.0f}s)",
+          flush=True)
+    out["hotcold"] = {"avg_ms": round(ms_h, 3),
+                      "gflops": round(2 * csr.num_nonzeros / ms_h / 1e6, 2),
+                      "effective_gbps": round(gbps_h, 1), "verified": ok_h,
+                      "setup_ms": round(hop.setup_ms, 0),
+                      "pct_peak": round(100 * gbps_h / peak, 1)}
+    del hop
+except Exception as e:  # noqa: BLE001
+    import traceback
+    traceback.print_exc()
+    out["hotcold"] = {"error": str(e)[:200]}
 out["xla"] = {"avg_ms": 10925.5, "verified": True,
               "reused_prior_measurement": True}
 out["merge_vs_xla_speedup"] = round(10925.5 / ms, 1)

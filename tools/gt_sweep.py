@@ -12,7 +12,7 @@ from merge_spmv_tpu.formats.coo import CooMatrix
 from merge_spmv_tpu.formats.csr import CsrMatrix
 from merge_spmv_tpu.ops.operator import build_operator
 from merge_spmv_tpu.utils.compare import compare_results
-from merge_spmv_tpu.utils.timers import operator_step_fn, chained_rate_ms
+from merge_spmv_tpu.utils.timers import operator_step_fn, ingraph_rate_ms
 
 t0 = time.time()
 cache = "/tmp/grid3d100.npz"
@@ -54,7 +54,7 @@ for G, T, RE in combos:
                               meta=op.meta)
         y = op(xd); jax.block_until_ready(y)
         ok = compare_results(np.asarray(y), gold) is None
-        ms = chained_rate_ms(operator_step_fn(op), xd)
+        ms = ingraph_rate_ms(operator_step_fn(op), xd, steps=256)
         gbps = total_bytes / ms / 1e6
         print(f"G={G} T={T} (plan G={op.plan.gather_group} "
               f"K={op.plan.meta_k} cw={op.plan.cluster_widths}): "
