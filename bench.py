@@ -175,6 +175,18 @@ def main():
         del csr_u
         raw = rs.pareto(1.6, nk) + 1.0
         degs = np.maximum(1, (raw * (nk * deg / raw.sum())).astype(np.int64))
+        # equalize nnz with the uniform half so the per-nnz ratio is the
+        # plain ms ratio (round-3's pair differed by 6% nnz, conflating
+        # matrix size with skew cost)
+        want = nk * deg
+        diff = int(want - degs.sum())
+        if diff > 0:
+            top = np.argsort(-degs)[:diff]
+            degs[top] += 1
+        elif diff < 0:
+            shrinkable = np.flatnonzero(degs > 1)
+            take = shrinkable[np.argsort(-degs[shrinkable])[:-diff]]
+            degs[take] -= 1
         rows_p = np.repeat(np.arange(nk, dtype=np.int64), degs)
         cols_p = np.clip(rows_p + rs.randint(-2048, 2048, rows_p.size),
                          0, nk - 1)

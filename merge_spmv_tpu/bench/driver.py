@@ -24,7 +24,7 @@ from merge_spmv_tpu.formats.coo import CooMatrix
 from merge_spmv_tpu.formats.csr import CsrMatrix
 from merge_spmv_tpu.utils.compare import compare_results
 from merge_spmv_tpu.utils.timers import (Timer, adaptive_timing_iterations,
-                                         chained_rate_ms)
+                                         ingraph_rate_ms)
 from merge_spmv_tpu.utils.device import device_info, peak_hbm_bandwidth
 
 __all__ = ["build_matrix", "run_benchmark", "display_perf", "BackendResult"]
@@ -205,8 +205,7 @@ def _bench_device_backend(backend, csr, x, gold, args, abs_bound=None):
 
     iters = args.get("i") or adaptive_timing_iterations(
         csr.num_nonzeros, max_iterations=args.get("max_iters", 2000))
-    n2 = max(4, min(iters, 40))
-    n1 = max(1, n2 // 4)
+    chain_steps = max(16, min(iters, 256))
 
     if beta == 0.0 and alpha == 1.0:
         # arrays-as-arguments step: a jit closure would embed the matrix
@@ -252,7 +251,11 @@ def _bench_device_backend(backend, csr, x, gold, args, abs_bound=None):
                                 ) * 1e-20
 
         step = jax.jit(step)
-    avg_ms = chained_rate_ms(step, xd, n1=n1, n2=n2)
+    # in-graph chain: one dispatch runs the whole chain, so per-dispatch
+    # tunnel jitter (+-8 ms observed) cannot pollute the rate the way the
+    # host-chained form's did (round-4 measured 2x drift on one kernel)
+    avg_ms = ingraph_rate_ms(step, xd, steps=chain_steps,
+                             jitter_floor_ms=25.0, max_steps=16384)
     return BackendResult(backend, avg_ms, setup_ms, idx is None, idx)
 
 

@@ -182,6 +182,59 @@ def main():
         for S, r in fixed.items():
             fixed_eff[S] = round(fixed[1]["avg_ms"] / r["avg_ms"], 3)
 
+    # prepared-vs-unprepared call path (VERDICT r3 item 8a).  On this CPU
+    # sim mesh both paths run the same xla local compute (the pallas local
+    # kernel is TPU-only; interpret mode would measure the interpreter),
+    # so the measurable difference is exactly what prepare hoists out of
+    # the per-call path: x shard/halo assembly on host + device_put.
+    # prepared_step_ms = the pure device step (prebuilt fn, placed
+    # arrays, placed x); unprepared_call_ms adds the per-call x handling
+    # the unprepared path re-does; prepare_setup_s = partition +
+    # placement + fn-build wall clock.
+    prepared = {}
+    for S in (2, 4, 8):
+        if len(jax.devices()) < S:
+            continue
+        t0 = time.perf_counter()
+        mesh = Mesh(np.array(jax.devices()[:S]), ("shards",))
+        part = partition_csr(csr_f, S, dtype=np.float32)
+        arrays = part.to_device_sharded(mesh)
+        fn = distributed_csrmv_fn(mesh, part, local_backend="xla")
+        if part.x_mode == "halo":
+            xr = jax.device_put(jnp.asarray(part.shard_x(x_f)),
+                                NamedSharding(mesh, P("shards")))
+        else:
+            xr = jax.device_put(jnp.asarray(x_f), NamedSharding(mesh, P()))
+        y = materialize_y(fn(*arrays, xr), part)
+        setup_s = time.perf_counter() - t0
+        ok = compare_results(y, gold_f, verbose=False) is None
+        ms_step = chained_ms(lambda *a: fn(*a), (*arrays, xr))
+
+        def call_unprep():
+            if part.x_mode == "halo":
+                xi = jax.device_put(jnp.asarray(part.shard_x(x_f)),
+                                    NamedSharding(mesh, P("shards")))
+            else:
+                xi = jax.device_put(jnp.asarray(x_f),
+                                    NamedSharding(mesh, P()))
+            return fn(*arrays, xi)
+
+        jax.block_until_ready(call_unprep())
+        best = 1e30
+        for _ in range(5):
+            t0 = time.perf_counter()
+            jax.block_until_ready(call_unprep())
+            best = min(best, time.perf_counter() - t0)
+        prepared[S] = {
+            "prepared_step_ms": round(ms_step, 3),
+            "unprepared_call_ms": round(best * 1e3, 3),
+            "prepare_setup_s": round(setup_s, 2),
+            "verified": ok,
+        }
+        print(f"prepared S={S}: step {ms_step:.2f} ms, unprepared call "
+              f"{best*1e3:.2f} ms, setup {setup_s:.1f} s", flush=True)
+
+
     base = results.get(1, {}).get("nnz_per_s_per_shard")
     base_ms = results.get(1, {}).get("avg_ms")
     eff = {}
@@ -209,6 +262,7 @@ def main():
         "serialized_total_work_efficiency": eff_total,
         "collective_overhead_efficiency": eff_coll,
         "fixed_total_work": fixed,
+        "prepared_vs_unprepared": prepared,
         "fixed_total_work_efficiency": fixed_eff,
         "note": ("host_cpus < shards: virtual devices share the core AND "
                  "its caches, and S>1 runs an S-times-larger working set "
