@@ -45,6 +45,7 @@ ahead of XLA's scalar gather path.
 from __future__ import annotations
 
 import functools
+import sys
 import typing
 
 import jax
@@ -64,6 +65,12 @@ __all__ = ["csrmv_pallas", "csrmm_column_loop", "csrmm_pallas"]
 LANES = 128
 SUBLANES = 8
 ROW_UNROLL_CAP = 16    # static-unroll row-phase cumsum gathers up to this
+
+# Tracing the statically-unrolled kernel under a nested jit (e.g. the
+# fori_loop timing chains or the 3-pass double-single step) exceeds
+# CPython's default 1000-frame recursion limit (observed: RecursionError
+# in _trace_kernel_to_jaxpr timing cant-class fp64).
+sys.setrecursionlimit(max(sys.getrecursionlimit(), 20000))
 
 
 def _flat_iota(shape):
