@@ -94,8 +94,17 @@ def main():
     avg_ms, backend = _bench_csr(csr)
     gflops = 2 * nnz / avg_ms / 1e6
     gbps = (nnz * 12 + n * 8) / avg_ms / 1e6
-    from merge_spmv_tpu.utils.device import device_info
+    from merge_spmv_tpu.utils.device import (device_info,
+                                             measure_stream_bandwidth)
     dinfo = device_info()
+    try:
+        stream_gbps = measure_stream_bandwidth()
+    except Exception:  # noqa: BLE001
+        stream_gbps = None
+    # roofline denominator: the MEASURED triad rate when it exceeds the
+    # published table (the part behind the relay sustained more than the
+    # published v5e number on pure shifted-FMA kernels in round 4)
+    peak = max(dinfo["peak_hbm_gbps"], stream_gbps or 0.0)
     out = {
         "metric": "grid3d100_merge_csrmv_fp32_gflops",
         "value": round(gflops, 3),
@@ -103,7 +112,8 @@ def main():
         "vs_baseline": None,  # filled from the circuit-class run below
         "kernel_ms": round(avg_ms, 4),
         "effective_gbps": round(gbps, 3),
-        "pct_peak": round(100.0 * gbps / dinfo["peak_hbm_gbps"], 1),
+        "pct_peak": round(100.0 * gbps / peak, 1),
+        "stream_gbps": None if stream_gbps is None else round(stream_gbps, 1),
         "device_kind": dinfo["device_kind"],
         "backend": backend,
     }
@@ -152,8 +162,7 @@ def main():
             dia_bytes = (dop.vtab.size + 2 * n) * 4
             dia_gbps = dia_bytes / ms_d / 1e6
             out["dia_grid3d100_actual_gbps"] = round(dia_gbps, 1)
-            out["dia_pct_peak"] = round(
-                100.0 * dia_gbps / dinfo["peak_hbm_gbps"], 1)
+            out["dia_pct_peak"] = round(100.0 * dia_gbps / peak, 1)
             out["dia_verified"] = ok
             out["dia_setup_ms"] = round(dop.setup_ms, 0)
             del dop

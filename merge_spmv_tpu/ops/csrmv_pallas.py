@@ -841,6 +841,21 @@ def _csrmv_pallas_core(plan: SpmvPlan, values_p, cols_p, rowends_p,
                        x_scaled, y_base_p, rowmeta=None,
                        *, meta_is_list: bool, interpret, debug_skip=""):
     """The pallas_call invocation; all per-matrix prep already done."""
+    # Under jax_enable_x64 (the fp64 double-single route) jnp index math
+    # silently produces int64 arrays; an int64 scalar inside the kernel
+    # makes Mosaic's convert_element_type lowering recurse forever
+    # (int64->int32 is unhandled and _convert_helper re-issues itself —
+    # observed as RecursionError timing cant-class fp64).  Cast at the
+    # boundary: XLA-side, no-op when already int32.
+    tile_rows = tile_rows.astype(jnp.int32)
+    tile_nnz = tile_nnz.astype(jnp.int32)
+    cbase = cbase.astype(jnp.int32)
+    tile_flags = tile_flags.astype(jnp.int32)
+    meta = meta.astype(jnp.int32)
+    if rowmeta is not None:
+        rowmeta = rowmeta.astype(jnp.int32)
+    cols_p = cols_p.astype(jnp.int32)
+    rowends_p = rowends_p.astype(jnp.int32)
     T = plan.tile_items
     R = plan.r_win
     TE = T + BLOCK

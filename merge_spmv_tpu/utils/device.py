@@ -8,7 +8,8 @@ report "% of peak" against it (the denominator of the roofline audit).
 
 from __future__ import annotations
 
-__all__ = ["peak_hbm_bandwidth", "device_info", "PEAK_HBM_GBPS"]
+__all__ = ["peak_hbm_bandwidth", "device_info", "PEAK_HBM_GBPS",
+           "measure_stream_bandwidth"]
 
 # Published peak HBM bandwidth per chip, GB/s.
 PEAK_HBM_GBPS = {
@@ -47,6 +48,42 @@ def peak_hbm_bandwidth(device=None) -> float:
     if device is None:
         device = jax.devices()[0]
     return PEAK_HBM_GBPS.get(_kind_key(device.device_kind), 819.0)
+
+
+def measure_stream_bandwidth(mbytes: int = 256, iters: int = 64,
+                             reps: int = 5) -> float:
+    """Measured STREAM-triad bandwidth (GB/s) on the default device.
+
+    The reference computes its roofline denominator from device registers
+    (utils.h:491); TPUs expose no such registers and the published
+    per-chip numbers do not always match the part actually behind the
+    relay (round 4: a 'v5 lite' device sustained >819 GB/s on a pure
+    shifted-FMA kernel).  One in-graph fori chain of x = x*s + y over
+    ``mbytes`` arrays: 2 reads + 1 write per element per iteration.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    n = mbytes * 1024 * 1024 // 4
+    x = jnp.ones((n,), jnp.float32)
+    y = jnp.full((n,), 0.5, jnp.float32)
+
+    def chain(k):
+        fn = jax.jit(lambda x0, y0: jax.lax.fori_loop(
+            0, k, lambda i, xc: xc * jnp.float32(0.99999) + y0, x0))
+        np.asarray(jax.device_get(jnp.sum(fn(x, y))))
+        best = 1e30
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(jax.device_get(jnp.sum(fn(x, y))))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt = max(chain(iters) - chain(1), 1e-9) / (iters - 1)
+    return 3 * n * 4 / dt / 1e9
 
 
 def device_info(device=None) -> dict:

@@ -38,12 +38,16 @@ def check(stacked, nb, m_pad, m, yg, x, tile_items, rs_knob):
         err = np.abs(y - yg)
         rel = err / np.maximum(np.abs(yg), 1e-30)
         bad = np.flatnonzero((err > 1e-3) & (rel > 1e-3))
+        worst = np.argsort(-err)[:5]
         print(f"rs={rs_knob}: plan rs={op.plan.runtime_skip} "
               f"x_win={op.plan.x_win} r_win={op.plan.r_win} "
-              f"bad={bad.size}"
-              + (f" first={bad[:5].tolist()} got={y[bad[:5]]} "
-                 f"want={yg[bad[:5]]}" if bad.size else "")
-              + f" ({time.time()-t0:.0f}s)", flush=True)
+              f"bad={bad.size} max_err={err.max():.5f} "
+              f"worst={worst.tolist()} got={y[worst]} want={yg[worst]} "
+              f"rel>10%={int((rel > 0.1).sum())} "
+              f"rel>1%={int((rel > 0.01).sum())} "
+              f"({time.time()-t0:.0f}s)", flush=True)
+        if bad.size:
+            np.save(f"/tmp/split_err_rs{rs_knob}.npy", err)
         return bad
     except Exception as e:  # noqa: BLE001
         print(f"rs={rs_knob}: FAILED {str(e)[:200]}", flush=True)
