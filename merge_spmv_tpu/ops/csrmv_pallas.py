@@ -108,6 +108,23 @@ def _cumsum_local(x3):
     return acc + off - row_tot
 
 
+def _gather_lanes(src, idx):
+    """``jnp.take_along_axis(src, idx, axis=1)`` with int32 indices.
+
+    Under jax_enable_x64 (the fp64 double-single route) take_along_axis
+    promotes its indices to int64; Mosaic's convert_element_type lowering
+    has no int64->int32 rule and its _convert_helper fallback recurses
+    forever (RecursionError).  This emits the identical gather jaxpr that
+    take_along_axis produces under x32 — the form Mosaic already lowers —
+    with the indices kept int32."""
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(), collapsed_slice_dims=(1,), start_index_map=(1,),
+        operand_batching_dims=(0,), start_indices_batching_dims=(0,))
+    return jax.lax.gather(
+        src, idx.astype(jnp.int32)[..., None], dnums, (1, 1),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+
+
 def _cs_chunk_visit(chunk, l, sq, cbase8, acc):
     """Merge one 1024-entry cumsum-table chunk into the gather: lane
     gathers from each of the chunk's 8 sublanes, selected where the target
@@ -119,7 +136,7 @@ def _cs_chunk_visit(chunk, l, sq, cbase8, acc):
     compare is one vector op against a scalar, with no mask broadcasts."""
     for q in range(SUBLANES):
         src = jnp.broadcast_to(chunk[q:q + 1, :], l.shape)
-        g = jnp.take_along_axis(src, l, axis=1)
+        g = _gather_lanes(src, l)
         acc = jnp.where(sq == cbase8 + q, g, acc)
     return acc
 
@@ -294,7 +311,7 @@ def _spmv_kernel(
             else:
                 row = x_rows(s, 1)                        # (1, 128)
             src = jnp.broadcast_to(row, (SUBLANES, LANES))
-            g = jnp.take_along_axis(src, l_r, axis=1)
+            g = _gather_lanes(src, l_r)
             return jnp.where(sc_r == s, g, acc)
 
         def visit_coarse(c, acc):
@@ -329,7 +346,7 @@ def _spmv_kernel(
                 screl = sc_r - jnp.where(base >= 0, base, jnp.int32(2 ** 20))
                 for w in range(span_c):
                     src = jnp.broadcast_to(creg[w:w + 1], (SUBLANES, LANES))
-                    g = jnp.take_along_axis(src, l_r, axis=1)
+                    g = _gather_lanes(src, l_r)
                     xg = jnp.where(screl == w, g, xg)
                 off += 1 + w_c
             return xg
@@ -359,7 +376,7 @@ def _spmv_kernel(
                 if meta_gran == SUBCHUNK:
                     row = x_rows(c, 1)
                     src = jnp.broadcast_to(row, (SUBLANES, LANES))
-                    gv = jnp.take_along_axis(src, l_r, axis=1)
+                    gv = _gather_lanes(src, l_r)
                     c_cmp = jnp.where(kvalid, c, -(2 ** 20))
                     acc = jnp.where(sc_r == c_cmp, gv, acc)
                 else:
@@ -391,7 +408,7 @@ def _spmv_kernel(
             s = meta_ref[g * K + k]          # -1 sentinel: never matches
             row = x_rows(jnp.maximum(s, 0), 1)
             src = jnp.broadcast_to(row, xg.shape)
-            gv = jnp.take_along_axis(src, l_g, axis=1)
+            gv = _gather_lanes(src, l_g)
             xg = jnp.where(sc_g == s, gv, xg)
         return xg
 
@@ -790,8 +807,17 @@ def _prepare_traced(plan: SpmvPlan, cols_p, rowends_p, meta, cbase):
         meta = pack_tile_meta(rcnt, rlo, tile_nnz, T)
         if plan.x_win and cbase is None:
             b0 = tile_nnz[:-1] // BLOCK
+            # clamp to the tile's OWN exclusive block range [b0, b1): the
+            # old b0 + arange(BPT) form read the NEXT tiles' blocks for
+            # row-dominated tiles, dragging the window base toward their
+            # (possibly far-away) columns — on stacked-band matrices
+            # (ops/split.py) the next band's near-zero columns pulled
+            # cbase down until this tile's own high columns fell past
+            # cbase + x_win and the kernel clip-fetched the wrong x rows
+            # (round-4 BENCH_LARGE verify=FAIL at every band boundary)
+            b1 = jnp.maximum(-(-tile_nnz[1:] // BLOCK), b0 + 1)
             idx = jnp.minimum(b0[:, None] + jnp.arange(BPT, dtype=jnp.int32),
-                              rlo.shape[0] - 1)
+                              b1[:, None] - 1)
             # rlo units depend on the range shift: 1024-col chunks are 8
             # subchunks each; 128-col windows are already subchunks
             scale = 8 if meta_gran == 1024 else 1

@@ -233,6 +233,46 @@ def test_x_window_streaming():
     assert_allclose_ulp(np.asarray(y2), gold, context="x_window_range")
 
 
+def test_x_window_range_cbase_band_boundary():
+    """Round-4 regression (BENCH_LARGE split verify=FAIL): the device-side
+    range-mode cbase took its window min over b0 + arange(BPT) blocks —
+    past row-dominated tiles' own nnz into the NEXT tile's blocks.  On a
+    stacked-band shape (high-column rows, then an empty-row run, then
+    low-column rows) that dragged cbase toward the next band's columns
+    until the tile's own columns fell past cbase + x_win and the kernel
+    clip-fetched wrong x rows.  Build exactly that shape with streaming
+    forced and the device range fallback (no host metadata)."""
+    from merge_spmv_tpu.ops.split import band_assignment, stack_bands
+
+    rs = np.random.RandomState(13)
+    n = 40000
+    # scattered columns on both sides of the diagonal so the quantile
+    # split yields distance bands whose column ranges differ sharply
+    rows = np.repeat(np.arange(n, dtype=np.int64), 4)
+    cols = np.clip(rows + rs.choice([-1, 1], rows.size)
+                   * rs.randint(2000, 6000, rows.size), 0, n - 1)
+    csr0 = CsrMatrix.from_coo(CooMatrix(
+        n, n, rows.astype(np.int32), cols.astype(np.int32),
+        rs.uniform(0.1, 1, rows.size))).astype(np.float32)
+    band, nb = band_assignment(csr0, "quantile", num_bands=4)
+    tile_items = 4096
+    stacked, m_pad = stack_bands(csr0, band, nb, tile_items=tile_items)
+    x = rs.uniform(0.1, 1, n).astype(np.float32)
+    gold_v = stacked.spmv_gold(x)
+    plan = make_plan(stacked.num_rows, n, stacked.num_nonzeros,
+                     dtype=np.float32, tile_items=tile_items,
+                     backend="pallas",
+                     vmem_bytes=240 * 1024,   # force streaming
+                     row_end_offsets=stacked.row_offsets[1:],
+                     col_indices=stacked.col_indices, meta_k=0,
+                     allow_x_streaming=True)
+    assert plan.x_win > 0, plan.describe()
+    v, re_, ci = stacked.to_device(dtype=np.float32)
+    y = csrmv_pallas(plan, v, re_, ci, jnp.asarray(x), interpret=INTERPRET)
+    assert_allclose_ulp(np.asarray(y)[:stacked.num_rows], gold_v,
+                        context="cbase_band_boundary")
+
+
 @pytest.mark.parametrize("name", ["grid2d", "powerlaw", "multi_chunk_cols",
                                   "wheel_hub_spans_tiles"])
 def test_gather_group_operator_matches_gold(name):
