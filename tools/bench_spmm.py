@@ -51,9 +51,6 @@ def main():
            "nnz": csr.num_nonzeros, "k": k,
            "wide_kernel": "retired round 4: ~0.3x the column loop across "
                           "two on-chip designs (round-3 BENCH_SPMM.json)"}
-    bytesM = (csr.num_nonzeros * (4 * (1 + k) + 4)
-              + csr.num_rows * (4 + 4 * k))
-
     # per-column csrmv loop (round-1 state)
     plan_c = make_plan(csr.num_rows, csr.num_cols, csr.num_nonzeros,
                        dtype="float32",
@@ -108,12 +105,18 @@ def main():
             sd.raw, sd.args = step_d, (vt,)
             ms_d = ingraph_rate_ms(sd, Xd, steps=64)
             gf_d = 2 * k * csr.num_nonzeros / ms_d / 1e6
+            # actual DIA traffic (vtab + X + Y), NOT the CSR-equivalent
+            # model (bytesM) — the latter exceeds physical HBM peak for a
+            # format that reads no indices and re-reads no x
+            dia_bytes = (vt.size + (m + lp + rp) * k + m * k) * 4
+            gbps_d = dia_bytes / ms_d / 1e6
             print(f"dia:    {ms_d:8.3f} ms  {gf_d:7.1f} GFLOP/s  "
-                  f"{bytesM/ms_d/1e6:6.1f} GB/s eff "
+                  f"{gbps_d:6.1f} GB/s actual "
                   f"({'PASS' if ok3 else 'FAIL'}, D={len(offs)}, "
                   f"setup {time.time()-t0:.0f}s)", flush=True)
             out["dia"] = {"avg_ms": round(ms_d, 3),
-                          "gflops": round(gf_d, 1), "verified": ok3,
+                          "gflops": round(gf_d, 1),
+                          "actual_gbps": round(gbps_d, 1), "verified": ok3,
                           "diagonals": len(offs),
                           "setup_ms": round(dop.setup_ms, 0)}
     except Exception as e:  # noqa: BLE001

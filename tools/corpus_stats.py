@@ -39,11 +39,20 @@ def pearson(xs, ys):
     return sxy / math.sqrt(sxx * syy)
 
 
+MIN_NNZ = 10_000
+"""Rows below this are format/parser probes, not perf rows: a matrix
+with a few dozen nonzeros times at the per-step launch floor (~3 us)
+regardless of nnz, so including it in the runtime-vs-nnz Pearson only
+measures the floor.  The reference sweep likewise excludes trivial
+datasets (cpu_spmv.cpp:556-560)."""
+
+
 def load_rows(path, backend_pref=("Merge CsrMV (pallas)", "XLA CsrMV")):
     """Parse eval_corpus rows: 9 leading fields (name, path, rows, cols,
     nnz, mean, std, cov, skewness) then repeating 5-field backend groups
     (display_name, setup_ms, avg_ms, gflops, effective_GBs).  Prefers the
-    merge backend's group."""
+    merge backend's group.  Sub-MIN_NNZ probes are skipped (reason
+    'trivial')."""
     rows = []
     skipped = []
     with open(path) as f:
@@ -61,6 +70,9 @@ def load_rows(path, backend_pref=("Merge CsrMV (pallas)", "XLA CsrMV")):
                 cov = float(parts[7])
             except ValueError:
                 skipped.append((name, "bad stats"))
+                continue
+            if nnz < MIN_NNZ:
+                skipped.append((name, "trivial"))
                 continue
             groups = {}
             i = 9
