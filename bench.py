@@ -170,24 +170,32 @@ def main():
     del csr
 
     # 2. skew pair at 2^19 rows (the item the headline can't see): per-nnz
-    # powerlaw/uniform ratio, target >= 0.9 (paper Fig. 9a flatness)
+    # powerlaw/uniform ratio, target >= 0.9 (paper Fig. 9a flatness).
+    # CONTROL (round 4): both halves share the SAME column sequence — the
+    # nonzero stream cols[i] is one array, only the row boundaries
+    # differ.  Gather blocks are nnz-order slices, so per-block column
+    # footprints (and hence the whole gather plan) are IDENTICAL by
+    # construction; the ratio isolates exactly what Fig. 9a claims: the
+    # merge split's equal-work handling of row-length skew.  The earlier
+    # row-relative pair conflated row skew with block column footprint
+    # (dense-packed deg-1 rows widen the span of row±2048 columns — a
+    # column-LOCALITY effect; tools/skew_diag.py round-4 diagnosis).
     try:
         nk, deg = 1 << 19, 8
-        rows = np.repeat(np.arange(nk, dtype=np.int64), deg)
-        cols = np.clip(rows + rs.randint(-2048, 2048, rows.size), 0, nk - 1)
-        csr_u = CsrMatrix.from_coo(CooMatrix(nk, nk, rows, cols,
-                                             np.ones(rows.size))
+        nnz_k = nk * deg
+        centers = ((np.arange(nnz_k, dtype=np.int64) * nk) // nnz_k)
+        cols = np.clip(centers + rs.randint(-2048, 2048, nnz_k), 0, nk - 1)
+        vals = np.ones(nnz_k, np.float32)
+        rows_u = np.repeat(np.arange(nk, dtype=np.int64), deg)
+        csr_u = CsrMatrix.from_coo(CooMatrix(nk, nk, rows_u, cols, vals)
                                    ).astype(np.float32)
         ms_u, _ = _bench_csr(csr_u)
-        nnz_u = csr_u.num_nonzeros
         del csr_u
         raw = rs.pareto(1.6, nk) + 1.0
-        degs = np.maximum(1, (raw * (nk * deg / raw.sum())).astype(np.int64))
-        # equalize nnz with the uniform half so the per-nnz ratio is the
-        # plain ms ratio (round-3's pair differed by 6% nnz, conflating
-        # matrix size with skew cost)
-        want = nk * deg
-        diff = int(want - degs.sum())
+        degs = np.maximum(1, (raw * (nnz_k / raw.sum())).astype(np.int64))
+        # equalize nnz so the per-nnz ratio is the plain ms ratio AND the
+        # shared column stream fits both halves exactly
+        diff = int(nnz_k - degs.sum())
         if diff > 0:
             top = np.argsort(-degs)[:diff]
             degs[top] += 1
@@ -196,18 +204,15 @@ def main():
             take = shrinkable[np.argsort(-degs[shrinkable])[:-diff]]
             degs[take] -= 1
         rows_p = np.repeat(np.arange(nk, dtype=np.int64), degs)
-        cols_p = np.clip(rows_p + rs.randint(-2048, 2048, rows_p.size),
-                         0, nk - 1)
-        csr_p = CsrMatrix.from_coo(CooMatrix(nk, nk, rows_p, cols_p,
-                                             np.ones(rows_p.size))
+        csr_p = CsrMatrix.from_coo(CooMatrix(nk, nk, rows_p, cols, vals)
                                    ).astype(np.float32)
+        assert csr_p.num_nonzeros == nnz_k
         ms_p, _ = _bench_csr(csr_p)
-        nnz_p = csr_p.num_nonzeros
         del csr_p
-        out["skew_powerlaw_over_uniform_per_nnz"] = round(
-            (ms_u / nnz_u) / (ms_p / nnz_p), 3)
+        out["skew_powerlaw_over_uniform_per_nnz"] = round(ms_u / ms_p, 3)
         out["skew_uniform_ms"] = round(ms_u, 4)
         out["skew_powerlaw_ms"] = round(ms_p, 4)
+        out["skew_control"] = "shared_column_stream"
     except Exception as e:  # noqa: BLE001
         out["skew_error"] = str(e)[:160]
 

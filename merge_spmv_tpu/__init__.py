@@ -27,7 +27,9 @@ from merge_spmv_tpu.ops.csrmv import csrmv, csrmm
 from merge_spmv_tpu.ops.operator import SpmvOperator, build_operator
 from merge_spmv_tpu.ops.merge_path import merge_path_search, merge_tile_coordinates
 from merge_spmv_tpu.ops.dia import build_dia_operator
-from merge_spmv_tpu.ops.split import build_hotcold_operator, build_split_operator
+from merge_spmv_tpu.ops.split import (build_hotcold_operator,
+                                      build_split_operator,
+                                      build_split_operator_device)
 from merge_spmv_tpu.ops.suggest import build_suggested, suggest_backend
 
 __version__ = "0.3.0"
@@ -42,6 +44,7 @@ __all__ = [
     "build_dia_operator",
     "build_hotcold_operator",
     "build_split_operator",
+    "build_split_operator_device",
     "build_suggested",
     "suggest_backend",
     "make_plan",

@@ -134,6 +134,8 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
               vmem_bytes: int = VMEM_BYTES_PER_CORE,
               r_win: Optional[int] = None,
               meta_k: Optional[int] = None,
+              x_win: Optional[int] = None,
+              row_span: Optional[int] = None,
               row_end_offsets=None, col_indices=None,
               allow_x_streaming: bool = True,
               runtime_skip: Optional[bool] = None,
@@ -154,7 +156,10 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
     tightens the static kernel knobs: ``r_win`` (per-tile row window from
     the actual tile split) and ``meta_k`` (distinct gather windows per
     block; see ops/gather_plan.py).  Callers that precomputed those pass
-    them directly.  build_operator (ops/operator.py) does all of this and
+    them directly — the device-side split builder (ops/split.py)
+    computes ``r_win`` / ``x_win`` / ``row_span`` with on-device
+    reductions and passes the scalars here, paying no host pass over the
+    nonzeros.  build_operator (ops/operator.py) does all of this and
     uploads the gather lists once per matrix.
 
     ``scratch``, when given a dict, receives the metadata arrays the probe
@@ -219,9 +224,11 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
             r_win = min(tile_items + 2048, cap)
     r_win = max(1024, -(-int(r_win) // 1024) * 1024)
 
-    if row_end_offsets is not None:
-        from merge_spmv_tpu.ops.gather_plan import row_meta_np, row_span_np
+    if row_span is None and row_end_offsets is not None:
+        from merge_spmv_tpu.ops.gather_plan import row_span_np
         row_span = row_span_np(row_end_offsets, num_nonzeros, tile_items)
+    if row_end_offsets is not None:
+        from merge_spmv_tpu.ops.gather_plan import row_meta_np
         # row-phase distinct-chunk lists (the skew fix): the probe has to
         # build the full packed array to learn the width — hand it to the
         # caller via scratch so prepare_csrmv doesn't rebuild it
@@ -230,10 +237,11 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
         if scratch is not None:
             scratch["rowmeta"] = (_rm_packed, row_meta_k)
     else:
-        row_span = 0
         row_meta_k = 0
+    row_span = 0 if row_span is None else int(row_span)
 
     meta_gran = 128
+    given_x_win = x_win
     x_win = 0
     if not x_in_vmem:
         # x-window streaming (round 2): per-tile column windows of x are
@@ -241,7 +249,14 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
         # root-caused to an out-of-bounds window DMA (cbase unclamped past
         # the packed x table) plus an unwired staging buffer; both fixed,
         # verified compiled-on-chip (tests/test_csrmv_pallas.py).
-        if (allow_x_streaming and col_indices is not None
+        if allow_x_streaming and given_x_win:
+            # caller computed the window on device (ops/split.py builder):
+            # trust it, subject to the same VMEM budget
+            num_sub = 8 * max(1, -(-int(num_cols) // 1024))
+            cand = min(int(given_x_win), num_sub)
+            if 2 * cand * 128 * 4 <= vmem_bytes // 3:
+                x_win = cand
+        elif (allow_x_streaming and col_indices is not None
                 and row_end_offsets is not None):
             # x-window streaming: per-tile column windows DMA'd like the
             # other inputs (viable for column-local matrices only)

@@ -43,8 +43,9 @@ import numpy as np
 from merge_spmv_tpu.formats.csr import CsrMatrix
 
 __all__ = ["split_by_distance", "SplitSpmvOperator", "build_split_operator",
-           "band_assignment", "stack_bands", "popularity_assignment",
-           "HotColdSpmvOperator", "build_hotcold_operator"]
+           "build_split_operator_device", "band_assignment", "stack_bands",
+           "popularity_assignment", "HotColdSpmvOperator",
+           "build_hotcold_operator"]
 
 
 def _row_ids(csr: CsrMatrix) -> np.ndarray:
@@ -256,6 +257,22 @@ class SplitSpmvOperator:
         self.plan = self.op.plan
         self.setup_ms = (time.perf_counter() - t0) * 1e3
 
+    @classmethod
+    def from_stacked(cls, op, num_bands: int, m_pad: int, num_rows: int,
+                     band_nnz, setup_ms: float) -> "SplitSpmvOperator":
+        """Wrap an already-built stacked operator (the device-side
+        builder's path, ``build_split_operator_device``)."""
+        self = object.__new__(cls)
+        self.op = op
+        self.plan = op.plan
+        self.num_bands = int(num_bands)
+        self._m_pad = int(m_pad)
+        self.num_rows = int(num_rows)
+        self.band_nnz = list(band_nnz)
+        self.stacked = None   # device-built: no host CsrMatrix exists
+        self.setup_ms = float(setup_ms)
+        return self
+
     def __call__(self, x, y_in=None, alpha=1.0, beta=0.0,
                  interpret: bool = False):
         import jax.numpy as jnp
@@ -457,3 +474,197 @@ def build_split_operator(csr: CsrMatrix, dtype="float32",
     """Build the banded operator (see module docstring for when)."""
     return SplitSpmvOperator(csr, dtype=dtype, edges_chunks=edges_chunks,
                              num_bands=num_bands, tile_items=tile_items)
+
+
+def build_split_operator_device(csr: CsrMatrix, dtype="float32",
+                                num_bands: int = 16,
+                                tile_items: Optional[int] = None,
+                                backend: str = "auto"
+                                ) -> SplitSpmvOperator:
+    """Device-side stacked-split setup (quantile edges).
+
+    The host path (``SplitSpmvOperator.__init__``) pays several full
+    passes over the nonzeros on the host — band searchsorted, stable
+    argsort, per-band copies, then the plan probes — ~66 s at circuit5M
+    scale on a fault-rate-limited host (BENCH_LARGE round 4).  The
+    reference's comparison point converts to HYB **on the GPU** in ~1 s
+    (gpu_spmv.cu:106-251, README.md:144), so setup belongs on the
+    accelerator here too.  This builder uploads the ORIGINAL CSR arrays
+    once and runs everything heavy on device:
+
+      1. signed diagonal distances + equal-nnz quantile edges
+         (device sort; only B-1 scalars come back);
+      2. stable argsort by band id + boundary searchsorted
+         (only B+1 segment offsets come back);
+      3. the stacked arrays — per-band static-size slices concatenated
+         with tile-aligned padding (nnz'_b ≡ -m_pad mod tile_items, the
+         stack_bands invariant), stacked row-end offsets from per-band
+         searchsorted over the band's (sorted) row ids, per-1024-block
+         column min/max, the merge tile split, and the row-window /
+         row-span reductions — only the small per-block/per-tile arrays
+         come back for the plan arithmetic.
+
+    The plan takes the device-computed ``r_win`` / ``x_win`` /
+    ``row_span`` scalars (make_plan x_win override) and range-mode
+    gather; prepare_csrmv then derives cbase on device as usual.  No
+    host pass ever touches the nonzeros.  fp32 only (the circuit class).
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from merge_spmv_tpu.ops.merge_path import merge_tile_coordinates
+    from merge_spmv_tpu.ops.operator import SpmvOperator
+    from merge_spmv_tpu.ops.plan import make_plan
+
+    assert dtype in ("float32",), "device split builder is fp32-only"
+    t_start = time.perf_counter()
+    m, n, nnz = csr.num_rows, csr.num_cols, csr.num_nonzeros
+    B = int(num_bands)
+    vals_d, ends_d, cols_d = csr.to_device(dtype=np.float32)
+
+    def _row_ids_dev(ends):
+        return jnp.searchsorted(ends, jnp.arange(nnz, dtype=jnp.int32),
+                                side="right").astype(jnp.int32)
+
+    # -- stage 1: quantile edges from signed diagonal distances --------- #
+    # quantile positions as host ints: device int32 index math would
+    # overflow at (B-1)*nnz for kron-scale nnz
+    q_idx = tuple(int(b * nnz) // B for b in range(1, B))
+
+    @jax.jit
+    def _edges(cols, ends):
+        d = cols.astype(jnp.int32) - _row_ids_dev(ends)
+        sd = jnp.sort(d)
+        return sd[jnp.asarray(q_idx, dtype=jnp.int32)]
+
+    raw = np.asarray(jax.device_get(_edges(cols_d, ends_d)))
+    edges = np.unique((np.round(raw / 1024.0) * 1024).astype(np.int32))
+    nb = len(edges) + 1
+    if nb == 1:
+        from merge_spmv_tpu.ops.operator import build_operator
+        base = build_operator(csr, dtype=dtype, tile_items=tile_items)
+        return SplitSpmvOperator.from_stacked(
+            base, 1, m, m, [nnz], (time.perf_counter() - t_start) * 1e3)
+
+    # -- stage 2: stable sort by band, segment boundaries --------------- #
+    @jax.jit
+    def _order(cols, ends, edges_a):
+        ri = _row_ids_dev(ends)
+        band = jnp.searchsorted(
+            edges_a, cols.astype(jnp.int32) - ri, side="right"
+        ).astype(jnp.int32)
+        order = jnp.argsort(band, stable=True).astype(jnp.int32)
+        seg = jnp.searchsorted(band[order],
+                               jnp.arange(nb, dtype=jnp.int32), side="left")
+        return ri, order, seg
+
+    ri_d, order_d, seg_d = _order(cols_d, ends_d, jnp.asarray(edges))
+    seg = np.concatenate([np.asarray(jax.device_get(seg_d), np.int64),
+                          [nnz]])
+    counts = np.diff(seg)
+
+    m_pad = -(-m // 1024) * 1024
+    if tile_items is None:
+        tile_items = make_plan(nb * m_pad, n, nnz, dtype=dtype).tile_items
+    assert tile_items % 1024 == 0
+    pads = (-(m_pad + counts)) % tile_items
+    dst = np.concatenate([[0], np.cumsum(counts + pads)]).astype(np.int64)
+    total = int(dst[-1])
+
+    # -- stage 3: stacked arrays + plan reductions, all on device ------- #
+    seg_t = tuple(int(s) for s in seg)
+    dst_t = tuple(int(d_) for d_ in dst)
+    pads_t = tuple(int(p) for p in pads)
+
+    @functools.partial(jax.jit, static_argnums=())
+    def _stack(cols, vals, ri, order):
+        cols_s = jnp.take(cols, order).astype(jnp.int32)
+        vals_s = jnp.take(vals, order)
+        rows_s = jnp.take(ri, order)
+        c_parts, v_parts, e_parts = [], [], []
+        for b in range(nb):
+            s0, s1, pad = seg_t[b], seg_t[b + 1], pads_t[b]
+            cseg = jax.lax.slice(cols_s, (s0,), (s1,))
+            vseg = jax.lax.slice(vals_s, (s0,), (s1,))
+            rseg = jax.lax.slice(rows_s, (s0,), (s1,))
+            c_parts.append(cseg)
+            v_parts.append(vseg)
+            if pad:
+                last = (cseg[-1:] if s1 > s0
+                        else jnp.zeros((1,), jnp.int32))
+                c_parts.append(jnp.broadcast_to(last, (pad,)))
+                v_parts.append(jnp.zeros((pad,), vals.dtype))
+            # band row-end offsets: rseg is sorted (stable sort preserved
+            # row-major order), so per-row counts are a searchsorted
+            eb = jnp.searchsorted(
+                rseg, jnp.arange(m_pad, dtype=jnp.int32), side="right"
+            ).astype(jnp.int32) + jnp.int32(dst_t[b])
+            eb = eb.at[m_pad - 1].set(dst_t[b + 1])   # pad nnz on last row
+            e_parts.append(eb)
+        cols_f = jnp.concatenate(c_parts)
+        vals_f = jnp.concatenate(v_parts)
+        ends_f = jnp.concatenate(e_parts).astype(jnp.int32)
+        # per-1024-block column window extents (total ≡ 0 mod 1024 by the
+        # stack invariant) — packed-table subchunk units (128 cols)
+        cb = (cols_f >> 7).reshape(total // 1024, 1024)
+        bmin = cb.min(axis=1)
+        bmax = cb.max(axis=1)
+        # row-window / row-span reductions (gather_plan.row_window_np /
+        # row_span_np semantics, on device)
+        rspan = (jnp.max(ends_f[1024:] - ends_f[:-1024])
+                 if ends_f.shape[0] > 1024 else ends_f[-1])
+        return cols_f, vals_f, ends_f, bmin, bmax, rspan
+
+    cols_f, vals_f, ends_f, bmin_d, bmax_d, rspan_d = _stack(
+        cols_d, vals_d, ri_d, order_d)
+    del cols_d, vals_d, ri_d, order_d
+
+    tile_x, tile_y = jax.jit(
+        merge_tile_coordinates, static_argnums=(1, 2))(ends_f, total,
+                                                       tile_items)
+    tile_rows = np.asarray(jax.device_get(tile_x), np.int64)
+    tile_nnz = np.asarray(jax.device_get(tile_y), np.int64)
+    bmin = np.asarray(jax.device_get(bmin_d), np.int64)
+    bmax = np.asarray(jax.device_get(bmax_d), np.int64)
+    rspan = int(jax.device_get(rspan_d))
+
+    # r_win (row_window_np semantics)
+    span_r = int((tile_rows[1:] - (tile_rows[:-1] // 1024) * 1024).max())
+    r_win = max(1024, -(-span_r // 1024) * 1024)
+    # row_span (row_span_np semantics)
+    bpt = (tile_items + 1024) // 1024
+    row_span = int(min(rspan // 1024 + 2, bpt))
+    # x_win (tile_col_meta_np semantics over the device block extents):
+    # per tile, min/max subchunk over its own block range, +8 slack for
+    # the device coarse cbase fallback
+    nblocks = len(bmin)
+    b0 = np.minimum(tile_nnz[:-1] // 1024, nblocks - 1)
+    b1 = np.clip(-(-tile_nnz[1:] // 1024), b0 + 1, nblocks)
+    idx = np.empty(2 * len(b0), np.int64)
+    idx[0::2] = b0
+    idx[1::2] = b1
+    bmin_e = np.concatenate([bmin, [2**31]])
+    bmax_e = np.concatenate([bmax, [-2**31]])
+    win_min = np.minimum.reduceat(bmin_e, idx)[0::2]
+    win_max = np.maximum.reduceat(bmax_e, idx)[0::2]
+    span = win_max - (win_min // 8) * 8 + 1
+    num_sub = 8 * max(1, -(-n // 1024))
+    x_win = min(int(-(-int(span.max()) // 8) * 8) + 8, num_sub)
+
+    plan = make_plan(nb * m_pad, n, total, dtype=dtype, backend=backend,
+                     tile_items=tile_items, r_win=r_win, x_win=x_win,
+                     row_span=row_span)
+    op = SpmvOperator(plan, vals_f, ends_f, cols_f)
+    # setup_ms must mean "ready to serve": block on the prepared device
+    # state (dispatches above are async; an unblocked timer reads the
+    # enqueue cost, not the conversion cost the reference reports for
+    # HYB, gpu_spmv.cu:114-134)
+    if op._prep is not None:
+        jax.block_until_ready((op._prep.values_p, op._prep.tile_rows))
+    else:
+        jax.block_until_ready((op.values, op.row_end_offsets))
+    return SplitSpmvOperator.from_stacked(
+        op, nb, m_pad, m, counts.tolist(),
+        (time.perf_counter() - t_start) * 1e3)

@@ -76,3 +76,51 @@ def test_ulp_distance_symmetry():
     b = np.array([1.0000001], np.float32)
     assert (ulp_distance(a, b) == ulp_distance(b, a)).all()
     assert ULP_LEN_CAP < 46_000   # stays below the vacuity horizon
+
+
+def test_prefix_bound_covers_cumsum_difference_rounding():
+    """A tiny single-nonzero row inside a block whose signed running
+    prefix is large can only be recovered to ~eps*|prefix| by a
+    prefix-difference kernel (the webbase-class chip failure, round 4).
+    spmv_abs_bound's segmented_block term must cover that error, while a
+    genuinely corrupted value must still fail."""
+    from merge_spmv_tpu.formats.coo import CooMatrix
+    from merge_spmv_tpu.formats.csr import CsrMatrix
+
+    rs = np.random.RandomState(7)
+    n = 4096
+    # rows 0..n-2: degree-1 rows with large signed values (the prefix
+    # random-walks to ~sqrt(k) * 0.5); one tiny row in the middle
+    rows = np.arange(n, dtype=np.int64)
+    cols = rs.randint(0, n, n)
+    vals = rs.uniform(-1.0, 1.0, n)
+    tiny = 2000
+    vals[tiny] = 1.5e-5
+    csr = CsrMatrix.from_coo(CooMatrix(n, n, rows, cols, vals)
+                             ).astype(np.float32)
+    x = np.ones(n, np.float32)
+    gold = csr.spmv_gold(x)
+    bound = csr.spmv_abs_bound(x)
+    bound_classic = csr.spmv_abs_bound(x, segmented_block=0)
+
+    # emulate the kernel's block-local fp32 prefix difference for the row
+    p = (csr.values * x[csr.col_indices]).astype(np.float32)
+    s = int(csr.row_offsets[tiny])
+    b0 = (s // 1024) * 1024
+    cs = np.cumsum(p[b0:b0 + 1024], dtype=np.float32)
+    emulated = cs[s - b0] - (cs[s - b0 - 1] if s > b0 else np.float32(0))
+    got = gold.copy()
+    got[tiny] = emulated
+    if compare_results(got, gold, verbose=False,
+                       abs_bound=bound_classic) is None:
+        # prefix happened to be small at this seed: force a 1-ULP(prefix)
+        # error so the test pins the mechanism regardless
+        got[tiny] = gold[tiny] + np.float32(np.abs(cs).max()) * np.float32(
+            1.2e-7) * 4
+    assert compare_results(got, gold, verbose=False,
+                           abs_bound=bound) is None
+
+    corrupt = gold.copy()
+    corrupt[tiny] = 0.5
+    assert compare_results(corrupt, gold, verbose=False,
+                           abs_bound=bound) is not None

@@ -29,17 +29,41 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "BASELINE_CONFIGS.json")
 
 
+def _wait_device(max_s=600):
+    """Wait for the TPU worker to come back after a crash."""
+    import jax
+    import jax.numpy as jnp
+
+    import numpy as np
+    t0 = time.time()
+    while time.time() - t0 < max_s:
+        try:
+            np.asarray(jnp.zeros((8,)) + 1.0)
+            return True
+        except Exception:  # noqa: BLE001
+            time.sleep(20)
+    return False
+
+
 def kernel_ms(step, x0, n=10, reps=3):
     """In-graph chain first (immune to per-dispatch tunnel drift —
     NOTES.md round-4 measurement-trust entry); host-chained fallback
-    when the in-graph difference never clears the jitter floor."""
+    when the in-graph difference never clears the jitter floor OR the
+    chained graph crashes the worker (observed: the 57M-nnz XLA
+    segment-sum inside a fori_loop kills the TPU worker while the same
+    computation as separate dispatches runs fine)."""
     import math
 
     from merge_spmv_tpu.utils.timers import ingraph_rate_ms
 
-    ms = ingraph_rate_ms(step, x0, steps=max(8, n))
-    if not math.isnan(ms):
-        return ms, "ingraph"
+    try:
+        ms = ingraph_rate_ms(step, x0, steps=max(8, n))
+        if not math.isnan(ms):
+            return ms, "ingraph"
+    except Exception as e:  # noqa: BLE001
+        print(f"  ingraph timing failed ({str(e)[:90]}); "
+              "host-chained fallback", flush=True)
+        _wait_device()
     return chained_kernel_ms(step, x0, n=n, reps=reps), "host_chained"
 
 
@@ -203,7 +227,18 @@ def run_hotcold(csr, chains=6):
     setup_s = time.time() - t0
     ok = compare_results(np.asarray(y), gold, verbose=True,
                          abs_bound=bound) is None
-    ms, timing = kernel_ms(hotcold_operator_step_fn(op), xd, n=chains)
+    try:
+        step = hotcold_operator_step_fn(op)
+    except AssertionError:
+        # mixed pallas/xla parts (e.g. the cold remainder of a >VMEM-x
+        # matrix routes to XLA): time the operator __call__ directly
+        import jax
+
+        @jax.jit
+        def step(xc):  # noqa: ANN001
+            yc = op(xc)
+            return xc + yc[:xc.shape[0]] * 1e-20
+    ms, timing = kernel_ms(step, xd, n=chains)
     total_bytes = csr.num_nonzeros * 12 + csr.num_rows * 8
     gbps = total_bytes / ms / 1e6
     print(f"  hotcold: {ms:.3f} ms  {gbps:.1f} GB/s  "
@@ -273,8 +308,14 @@ def main():
         csr = build(powerlaw_web(9_845_725, 57_156_537, 0.95, 32768, 13,
                                  np.float32), np.float32)
         if "wb_edu_class" not in results:
-            results["wb_edu_class"] = run_csrmv("wb_edu_class", csr,
-                                                "float32", chains=6)
+            try:
+                results["wb_edu_class"] = run_csrmv("wb_edu_class", csr,
+                                                    "float32", chains=6)
+            except Exception as e:  # noqa: BLE001
+                import traceback
+                traceback.print_exc()
+                results["wb_edu_class"] = {"error": str(e)[:200]}
+                _wait_device()
             results["wb_edu_class"]["gen"] = WB_GEN
             save()
         if "wb_edu_class_hotcold" not in results:
@@ -291,8 +332,9 @@ def main():
         # the skew-invariance check across the pair (per-nnz rates)
         a = results["webbase_1M_class"]
         b = results["wb_edu_class"]
-        results["webbase_pair_per_nnz_ratio"] = round(
-            (a["avg_ms"] / a["nnz"]) / (b["avg_ms"] / b["nnz"]), 3)
+        if "avg_ms" in a and "avg_ms" in b:
+            results["webbase_pair_per_nnz_ratio"] = round(
+                (a["avg_ms"] / a["nnz"]) / (b["avg_ms"] / b["nnz"]), 3)
         save()
 
     if "spmm" in want and "spmm_cant_k32" not in results:

@@ -108,18 +108,32 @@ def main():
         return plan, prepare_csrmv(plan, v, re_, ci, meta=meta)
 
     def run_variant(name, plan, prep, skip="", verify=False):
-        def step(xc):
-            y = csrmv_pallas_prepared(plan, prep, xc, debug_skip=skip)
+        from merge_spmv_tpu.ops.csrmv_pallas import PreparedCsrmv
+        from merge_spmv_tpu.utils.timers import ingraph_rate_ms
+
+        arrs = (prep.values_p, prep.cols_p, prep.rowends_p, prep.tile_rows,
+                prep.tile_nnz, prep.cbase, prep.meta, prep.tile_flags)
+        if prep.rowmeta is not None:
+            arrs = arrs + (prep.rowmeta,)
+
+        @jax.jit
+        def raw(xc, *a):
+            p2 = PreparedCsrmv(a[0], a[1], a[2], a[3], a[4], a[5], a[6],
+                               meta_is_list=prep.meta_is_list,
+                               tile_flags=a[7],
+                               rowmeta=a[8] if len(a) > 8 else None)
+            y = csrmv_pallas_prepared(plan, p2, xc, debug_skip=skip)
             return xc + y[:plan.num_cols] * 1e-20
 
-        step = jax.jit(step)
+        step = lambda xc: raw(xc, *arrs)   # noqa: E731
+        step.raw, step.args = raw, arrs
         x = jnp.ones((plan.num_cols,), jnp.float32)
         if verify:
             y = csrmv_pallas_prepared(plan, prep, x, debug_skip=skip)
             ok = compare_results(np.asarray(y), gold, verbose=False) is None
             print(f"  verify: {'PASS' if ok else 'FAIL'}", flush=True)
         t0 = time.time()
-        ms = chained_kernel_ms(step, x)
+        ms = ingraph_rate_ms(step, x)
         gbps = (csr.num_nonzeros * 12 + csr.num_rows * 8) / ms / 1e6
         print(f"{name:>12}: {ms:8.4f} ms  {gbps:7.1f} GB/s eff  "
               f"(wall {time.time()-t0:.0f}s)", flush=True)
@@ -170,6 +184,28 @@ def main():
         for k, v in res.items():
             if k != "base":
                 print(f"  {k}: delta vs base {b - v:+.4f} ms")
+
+    # the committed irreducibility artifact (VERDICT r3 item 1): the
+    # floor and dynfetch variants bound what any gather improvement can
+    # recover for this merge-path structure on this matrix
+    import json
+    import os
+    out = {"matrix": f"grid3d{n}", "rows": csr.num_rows,
+           "nnz": csr.num_nonzeros, "plan": plan.describe(),
+           "timing": "ingraph",
+           "byte_model_gbps_at": {
+               k: round((csr.num_nonzeros * 12 + csr.num_rows * 8)
+                        / v / 1e6, 1) for k, v in res.items()},
+           "variants_ms": {k: round(v, 4) for k, v in res.items()}}
+    if "base" in res:
+        out["deltas_vs_base_ms"] = {
+            k: round(res["base"] - v, 4) for k, v in res.items()
+            if k != "base"}
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "PERF_PROBE.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1); f.write("\n")
+    print(f"wrote {path}", flush=True)
 
 
 if __name__ == "__main__":
