@@ -1085,6 +1085,13 @@ def pad_csr_arrays(plan: SpmvPlan, values, row_end_offsets, col_indices):
     return values_p, cols_p, rowends_p
 
 
+# Module-level jit of the prepare pass: a per-call jax.jit(...) would be a
+# FRESH compilation cache on every prepare (each build re-paid the remote
+# compile; the device split builder converts repeatedly at same shapes).
+_prepare_traced_jit = functools.partial(jax.jit, static_argnums=0)(
+    _prepare_traced)
+
+
 def prepare_csrmv(plan: SpmvPlan, values, row_end_offsets, col_indices,
                   meta=None, rowmeta=None) -> PreparedCsrmv:
     """One-time per-matrix preparation for csrmv_pallas_prepared.
@@ -1108,9 +1115,8 @@ def prepare_csrmv(plan: SpmvPlan, values, row_end_offsets, col_indices,
     with jax.enable_x64(False):
         values_p, cols_p, rowends_p = pad_csr_arrays(
             plan, values, row_end_offsets, col_indices)
-        tile_rows, tile_nnz, cbase, meta, tile_flags = jax.jit(
-            _prepare_traced, static_argnums=0)(plan, cols_p, rowends_p,
-                                               meta, cbase)
+        tile_rows, tile_nnz, cbase, meta, tile_flags = _prepare_traced_jit(
+            plan, cols_p, rowends_p, meta, cbase)
     return PreparedCsrmv(values_p, cols_p, rowends_p, tile_rows, tile_nnz,
                          cbase, meta,
                          meta_is_list=bool(plan.meta_k) and provided,

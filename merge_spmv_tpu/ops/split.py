@@ -476,6 +476,95 @@ def build_split_operator(csr: CsrMatrix, dtype="float32",
                              num_bands=num_bands, tile_items=tile_items)
 
 
+_DEV_STAGES: dict = {}
+
+
+def _dev_stages():
+    """Module-singleton jitted stages for the device split builder.
+
+    Defined once per process so repeat conversions of same-shaped
+    matrices hit the jit cache — a per-call ``@jax.jit`` on a nested
+    function is a FRESH cache every time, which made every build pay the
+    full remote-compile cost again (~minutes through the axon tunnel;
+    measured 296 s of which compiles were most, round 4)."""
+    if _DEV_STAGES:
+        return _DEV_STAGES
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    def row_ids(ends, nnz):
+        return jnp.searchsorted(ends, jnp.arange(nnz, dtype=jnp.int32),
+                                side="right").astype(jnp.int32)
+
+    @functools.partial(jax.jit, static_argnums=(2, 3))
+    def edges(cols, ends, nnz, q_idx):
+        d = cols.astype(jnp.int32) - row_ids(ends, nnz)
+        sd = jnp.sort(d)
+        return sd[jnp.asarray(q_idx, dtype=jnp.int32)]
+
+    @functools.partial(jax.jit, static_argnums=(3, 4))
+    def order(cols, ends, edges_a, nnz, nb):
+        ri = row_ids(ends, nnz)
+        band = jnp.searchsorted(
+            edges_a, cols.astype(jnp.int32) - ri, side="right"
+        ).astype(jnp.int32)
+        order_ = jnp.argsort(band, stable=True).astype(jnp.int32)
+        seg = jnp.searchsorted(band[order_],
+                               jnp.arange(nb, dtype=jnp.int32),
+                               side="left")
+        return ri, order_, seg
+
+    @functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+    def stack(cols, vals, ri, order_, seg_t, pads_t, dst_t, m_pad):
+        nb = len(seg_t) - 1
+        total = int(dst_t[-1])
+        cols_s = jnp.take(cols, order_).astype(jnp.int32)
+        vals_s = jnp.take(vals, order_)
+        rows_s = jnp.take(ri, order_)
+        c_parts, v_parts, e_parts = [], [], []
+        for b in range(nb):
+            s0, s1, pad = seg_t[b], seg_t[b + 1], pads_t[b]
+            cseg = jax.lax.slice(cols_s, (s0,), (s1,))
+            vseg = jax.lax.slice(vals_s, (s0,), (s1,))
+            rseg = jax.lax.slice(rows_s, (s0,), (s1,))
+            c_parts.append(cseg)
+            v_parts.append(vseg)
+            if pad:
+                last = (cseg[-1:] if s1 > s0
+                        else jnp.zeros((1,), jnp.int32))
+                c_parts.append(jnp.broadcast_to(last, (pad,)))
+                v_parts.append(jnp.zeros((pad,), vals.dtype))
+            # band row-end offsets: rseg is sorted (stable sort preserved
+            # row-major order), so per-row counts are a searchsorted
+            eb = jnp.searchsorted(
+                rseg, jnp.arange(m_pad, dtype=jnp.int32), side="right"
+            ).astype(jnp.int32) + jnp.int32(dst_t[b])
+            eb = eb.at[m_pad - 1].set(dst_t[b + 1])  # pad nnz on last row
+            e_parts.append(eb)
+        cols_f = jnp.concatenate(c_parts)
+        vals_f = jnp.concatenate(v_parts)
+        ends_f = jnp.concatenate(e_parts).astype(jnp.int32)
+        # per-1024-block column window extents (total ≡ 0 mod 1024 by the
+        # stack invariant) — packed-table subchunk units (128 cols)
+        cb = (cols_f >> 7).reshape(total // 1024, 1024)
+        bmin = cb.min(axis=1)
+        bmax = cb.max(axis=1)
+        # row-window / row-span reductions (gather_plan.row_window_np /
+        # row_span_np semantics, on device)
+        rspan = (jnp.max(ends_f[1024:] - ends_f[:-1024])
+                 if ends_f.shape[0] > 1024 else ends_f[-1])
+        return cols_f, vals_f, ends_f, bmin, bmax, rspan
+
+    from merge_spmv_tpu.ops.merge_path import merge_tile_coordinates
+    tiles = functools.partial(jax.jit, static_argnums=(1, 2))(
+        merge_tile_coordinates)
+
+    _DEV_STAGES.update(edges=edges, order=order, stack=stack, tiles=tiles)
+    return _DEV_STAGES
+
+
 def build_split_operator_device(csr: CsrMatrix, dtype="float32",
                                 num_bands: int = 16,
                                 tile_items: Optional[int] = None,
@@ -509,37 +598,29 @@ def build_split_operator_device(csr: CsrMatrix, dtype="float32",
     gather; prepare_csrmv then derives cbase on device as usual.  No
     host pass ever touches the nonzeros.  fp32 only (the circuit class).
     """
-    import functools
-
     import jax
     import jax.numpy as jnp
 
-    from merge_spmv_tpu.ops.merge_path import merge_tile_coordinates
     from merge_spmv_tpu.ops.operator import SpmvOperator
     from merge_spmv_tpu.ops.plan import make_plan
 
     assert dtype in ("float32",), "device split builder is fp32-only"
+    stages = _dev_stages()
     t_start = time.perf_counter()
     m, n, nnz = csr.num_rows, csr.num_cols, csr.num_nonzeros
     B = int(num_bands)
     vals_d, ends_d, cols_d = csr.to_device(dtype=np.float32)
-
-    def _row_ids_dev(ends):
-        return jnp.searchsorted(ends, jnp.arange(nnz, dtype=jnp.int32),
-                                side="right").astype(jnp.int32)
+    jax.block_until_ready((vals_d, ends_d, cols_d))
+    # upload attributed separately: the reference's HYB conversion also
+    # starts from the device-resident CSR (gpu_spmv.cu:106-134)
+    upload_ms = (time.perf_counter() - t_start) * 1e3
 
     # -- stage 1: quantile edges from signed diagonal distances --------- #
     # quantile positions as host ints: device int32 index math would
     # overflow at (B-1)*nnz for kron-scale nnz
     q_idx = tuple(int(b * nnz) // B for b in range(1, B))
-
-    @jax.jit
-    def _edges(cols, ends):
-        d = cols.astype(jnp.int32) - _row_ids_dev(ends)
-        sd = jnp.sort(d)
-        return sd[jnp.asarray(q_idx, dtype=jnp.int32)]
-
-    raw = np.asarray(jax.device_get(_edges(cols_d, ends_d)))
+    raw = np.asarray(jax.device_get(
+        stages["edges"](cols_d, ends_d, nnz, q_idx)))
     edges = np.unique((np.round(raw / 1024.0) * 1024).astype(np.int32))
     nb = len(edges) + 1
     if nb == 1:
@@ -549,18 +630,8 @@ def build_split_operator_device(csr: CsrMatrix, dtype="float32",
             base, 1, m, m, [nnz], (time.perf_counter() - t_start) * 1e3)
 
     # -- stage 2: stable sort by band, segment boundaries --------------- #
-    @jax.jit
-    def _order(cols, ends, edges_a):
-        ri = _row_ids_dev(ends)
-        band = jnp.searchsorted(
-            edges_a, cols.astype(jnp.int32) - ri, side="right"
-        ).astype(jnp.int32)
-        order = jnp.argsort(band, stable=True).astype(jnp.int32)
-        seg = jnp.searchsorted(band[order],
-                               jnp.arange(nb, dtype=jnp.int32), side="left")
-        return ri, order, seg
-
-    ri_d, order_d, seg_d = _order(cols_d, ends_d, jnp.asarray(edges))
+    ri_d, order_d, seg_d = stages["order"](cols_d, ends_d,
+                                           jnp.asarray(edges), nnz, nb)
     seg = np.concatenate([np.asarray(jax.device_get(seg_d), np.int64),
                           [nnz]])
     counts = np.diff(seg)
@@ -577,53 +648,11 @@ def build_split_operator_device(csr: CsrMatrix, dtype="float32",
     seg_t = tuple(int(s) for s in seg)
     dst_t = tuple(int(d_) for d_ in dst)
     pads_t = tuple(int(p) for p in pads)
-
-    @functools.partial(jax.jit, static_argnums=())
-    def _stack(cols, vals, ri, order):
-        cols_s = jnp.take(cols, order).astype(jnp.int32)
-        vals_s = jnp.take(vals, order)
-        rows_s = jnp.take(ri, order)
-        c_parts, v_parts, e_parts = [], [], []
-        for b in range(nb):
-            s0, s1, pad = seg_t[b], seg_t[b + 1], pads_t[b]
-            cseg = jax.lax.slice(cols_s, (s0,), (s1,))
-            vseg = jax.lax.slice(vals_s, (s0,), (s1,))
-            rseg = jax.lax.slice(rows_s, (s0,), (s1,))
-            c_parts.append(cseg)
-            v_parts.append(vseg)
-            if pad:
-                last = (cseg[-1:] if s1 > s0
-                        else jnp.zeros((1,), jnp.int32))
-                c_parts.append(jnp.broadcast_to(last, (pad,)))
-                v_parts.append(jnp.zeros((pad,), vals.dtype))
-            # band row-end offsets: rseg is sorted (stable sort preserved
-            # row-major order), so per-row counts are a searchsorted
-            eb = jnp.searchsorted(
-                rseg, jnp.arange(m_pad, dtype=jnp.int32), side="right"
-            ).astype(jnp.int32) + jnp.int32(dst_t[b])
-            eb = eb.at[m_pad - 1].set(dst_t[b + 1])   # pad nnz on last row
-            e_parts.append(eb)
-        cols_f = jnp.concatenate(c_parts)
-        vals_f = jnp.concatenate(v_parts)
-        ends_f = jnp.concatenate(e_parts).astype(jnp.int32)
-        # per-1024-block column window extents (total ≡ 0 mod 1024 by the
-        # stack invariant) — packed-table subchunk units (128 cols)
-        cb = (cols_f >> 7).reshape(total // 1024, 1024)
-        bmin = cb.min(axis=1)
-        bmax = cb.max(axis=1)
-        # row-window / row-span reductions (gather_plan.row_window_np /
-        # row_span_np semantics, on device)
-        rspan = (jnp.max(ends_f[1024:] - ends_f[:-1024])
-                 if ends_f.shape[0] > 1024 else ends_f[-1])
-        return cols_f, vals_f, ends_f, bmin, bmax, rspan
-
-    cols_f, vals_f, ends_f, bmin_d, bmax_d, rspan_d = _stack(
-        cols_d, vals_d, ri_d, order_d)
+    cols_f, vals_f, ends_f, bmin_d, bmax_d, rspan_d = stages["stack"](
+        cols_d, vals_d, ri_d, order_d, seg_t, pads_t, dst_t, m_pad)
     del cols_d, vals_d, ri_d, order_d
 
-    tile_x, tile_y = jax.jit(
-        merge_tile_coordinates, static_argnums=(1, 2))(ends_f, total,
-                                                       tile_items)
+    tile_x, tile_y = stages["tiles"](ends_f, total, tile_items)
     tile_rows = np.asarray(jax.device_get(tile_x), np.int64)
     tile_nnz = np.asarray(jax.device_get(tile_y), np.int64)
     bmin = np.asarray(jax.device_get(bmin_d), np.int64)
@@ -665,6 +694,9 @@ def build_split_operator_device(csr: CsrMatrix, dtype="float32",
         jax.block_until_ready((op._prep.values_p, op._prep.tile_rows))
     else:
         jax.block_until_ready((op.values, op.row_end_offsets))
-    return SplitSpmvOperator.from_stacked(
+    sop = SplitSpmvOperator.from_stacked(
         op, nb, m_pad, m, counts.tolist(),
         (time.perf_counter() - t_start) * 1e3)
+    sop.upload_ms = upload_ms
+    sop.convert_ms = sop.setup_ms - upload_ms
+    return sop
