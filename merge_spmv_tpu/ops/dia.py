@@ -143,7 +143,38 @@ class DiaSpmvOperator:
                                           backend=backend)
         self.plan = (self.rest_op.plan if self.rest_op is not None
                      else None)
+        # pallas DIA matvec gate (ops/dia_pallas.py): fp32 table, staged
+        # x + double-buffered vtab tiles within the VMEM budget.  The
+        # XLA serial chain stays as the fallback (it lowers to D
+        # separate passes — measured 3-5x the minimal traffic, round 4).
+        self._pallas_ok = False
+        if self.vtab is not None and jdt == jnp.float32:
+            lpad = self._lpad
+            span = int(max(0, self.offsets.max()) + lpad) + 256
+            xs_bytes = (m + span) * 4
+            self._pallas_ok = (xs_bytes <= 8 * 1024 * 1024
+                               and self.offsets.size <= 16)
         self.setup_ms = (time.perf_counter() - t0) * 1e3
+
+    def _dia_matvec(self, xv, interpret: bool = False):
+        """The diagonal part's matvec: pallas kernel when gated on (TPU
+        or interpret mode), XLA serial chain otherwise."""
+        import jax
+        import jax.numpy as jnp
+        use_pallas = self._pallas_ok and (
+            interpret or jax.default_backend() == "tpu")
+        if use_pallas:
+            from merge_spmv_tpu.ops.dia_pallas import dia_matvec_pallas
+            return dia_matvec_pallas(
+                self.vtab, xv, tuple(int(o) for o in self.offsets),
+                self.num_rows, self.num_cols, interpret=interpret)
+        xp = jnp.pad(xv, (self._lpad, self._rpad))
+        m = self.num_rows
+        acc = jnp.zeros((m,), self.vtab.dtype)
+        for i, off in enumerate(self.offsets):
+            s = self._lpad + int(off)
+            acc = acc + self.vtab[i] * xp[s:s + m]
+        return acc
 
     def __call__(self, x, y_in=None, alpha=1.0, beta=0.0,
                  interpret: bool = False):
@@ -151,12 +182,7 @@ class DiaSpmvOperator:
         y = None
         if self.vtab is not None:
             xv = jnp.asarray(x).astype(self.vtab.dtype)
-            xp = jnp.pad(xv, (self._lpad, self._rpad))
-            m = self.num_rows
-            acc = jnp.zeros((m,), self.vtab.dtype)
-            for i, off in enumerate(self.offsets):
-                s = self._lpad + int(off)
-                acc = acc + self.vtab[i] * xp[s:s + m]
+            acc = self._dia_matvec(xv, interpret=interpret)
             y = acc if alpha == 1.0 else jnp.asarray(alpha,
                                                      acc.dtype) * acc
         if self.rest_op is not None:

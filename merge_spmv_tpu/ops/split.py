@@ -615,12 +615,21 @@ def build_split_operator_device(csr: CsrMatrix, dtype="float32",
     # starts from the device-resident CSR (gpu_spmv.cu:106-134)
     upload_ms = (time.perf_counter() - t_start) * 1e3
 
+    stage_ms = {"upload": upload_ms}
+    t_m = time.perf_counter()
+
+    def _mark(name):
+        nonlocal t_m
+        stage_ms[name] = (time.perf_counter() - t_m) * 1e3
+        t_m = time.perf_counter()
+
     # -- stage 1: quantile edges from signed diagonal distances --------- #
     # quantile positions as host ints: device int32 index math would
     # overflow at (B-1)*nnz for kron-scale nnz
     q_idx = tuple(int(b * nnz) // B for b in range(1, B))
     raw = np.asarray(jax.device_get(
         stages["edges"](cols_d, ends_d, nnz, q_idx)))
+    _mark("edges")
     edges = np.unique((np.round(raw / 1024.0) * 1024).astype(np.int32))
     nb = len(edges) + 1
     if nb == 1:
@@ -634,6 +643,8 @@ def build_split_operator_device(csr: CsrMatrix, dtype="float32",
                                            jnp.asarray(edges), nnz, nb)
     seg = np.concatenate([np.asarray(jax.device_get(seg_d), np.int64),
                           [nnz]])
+    jax.block_until_ready(order_d)
+    _mark("order")
     counts = np.diff(seg)
 
     m_pad = -(-m // 1024) * 1024
@@ -650,6 +661,8 @@ def build_split_operator_device(csr: CsrMatrix, dtype="float32",
     pads_t = tuple(int(p) for p in pads)
     cols_f, vals_f, ends_f, bmin_d, bmax_d, rspan_d = stages["stack"](
         cols_d, vals_d, ri_d, order_d, seg_t, pads_t, dst_t, m_pad)
+    jax.block_until_ready(ends_f)
+    _mark("stack")
     del cols_d, vals_d, ri_d, order_d
 
     tile_x, tile_y = stages["tiles"](ends_f, total, tile_items)
@@ -694,9 +707,11 @@ def build_split_operator_device(csr: CsrMatrix, dtype="float32",
         jax.block_until_ready((op._prep.values_p, op._prep.tile_rows))
     else:
         jax.block_until_ready((op.values, op.row_end_offsets))
+    _mark("plan_prepare")
     sop = SplitSpmvOperator.from_stacked(
         op, nb, m_pad, m, counts.tolist(),
         (time.perf_counter() - t_start) * 1e3)
     sop.upload_ms = upload_ms
     sop.convert_ms = sop.setup_ms - upload_ms
+    sop.stage_ms = {k: round(v, 1) for k, v in stage_ms.items()}
     return sop

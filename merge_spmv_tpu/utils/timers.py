@@ -428,13 +428,20 @@ def dia_operator_step_fn(dop):
                      prep.tile_rows, prep.tile_nnz, prep.cbase,
                      prep.tile_flags, prep.meta, prep.rowmeta)
 
+    use_pallas = (getattr(dop, "_pallas_ok", False)
+                  and jax.default_backend() == "tpu")
+
     @jax.jit
     def _step(xc, vtab, ra):
-        xp = jnp.pad(xc.astype(vtab.dtype), (lp, rp))
-        y = jnp.zeros((m,), vtab.dtype)
-        for i, off in enumerate(offs):
-            s = lp + off
-            y = y + vtab[i] * xp[s:s + m]
+        if use_pallas:
+            from merge_spmv_tpu.ops.dia_pallas import dia_matvec_pallas
+            y = dia_matvec_pallas(vtab, xc.astype(vtab.dtype), offs, m, n)
+        else:
+            xp = jnp.pad(xc.astype(vtab.dtype), (lp, rp))
+            y = jnp.zeros((m,), vtab.dtype)
+            for i, off in enumerate(offs):
+                s = lp + off
+                y = y + vtab[i] * xp[s:s + m]
         if rest_static is not None:
             p32, mil = rest_static
             y = _prepared_call(

@@ -133,3 +133,45 @@ def test_dia_operator_fp64():
         np.testing.assert_allclose(np.asarray(y), gold, rtol=1e-12)
     finally:
         jax.config.update("jax_enable_x64", False)
+
+
+def test_dia_pallas_matvec_matches_gold_interpret():
+    """The pallas DIA kernel (ops/dia_pallas.py): staged-x sublane reads
+    + static lane concat must reproduce the gold for stencil offsets,
+    including negative offsets, boundary rows, and a non-128-multiple
+    row count."""
+    import jax.numpy as jnp
+
+    from merge_spmv_tpu.ops.dia_pallas import dia_matvec_pallas
+
+    for grid, kind in ((17, "grid3d"), (37, "grid2d")):
+        coo = (CooMatrix.grid3d(grid) if kind == "grid3d"
+               else CooMatrix.grid2d(grid))
+        csr = CsrMatrix.from_coo(coo).astype(np.float32)
+        rs = np.random.RandomState(1)
+        csr.values = rs.uniform(-1, 1, csr.num_nonzeros).astype(np.float32)
+        op = build_dia_operator(csr, dtype="float32")
+        assert op.vtab is not None and op.rest_op is None
+        x = rs.uniform(-1, 1, csr.num_cols).astype(np.float32)
+        y = dia_matvec_pallas(op.vtab, jnp.asarray(x),
+                              tuple(int(o) for o in op.offsets),
+                              op.num_rows, op.num_cols, interpret=True)
+        gold = csr.spmv_gold(x)
+        bound = csr.spmv_abs_bound(x)
+        assert compare_results(np.asarray(y), gold,
+                               abs_bound=bound) is None, kind
+
+
+def test_dia_operator_interpret_routes_pallas():
+    """op(x, interpret=True) drives the pallas matvec when gated on."""
+    import jax.numpy as jnp
+
+    csr = CsrMatrix.from_coo(CooMatrix.grid3d(12)).astype(np.float32)
+    op = build_dia_operator(csr, dtype="float32")
+    assert op._pallas_ok
+    rs = np.random.RandomState(3)
+    x = rs.uniform(-1, 1, csr.num_cols).astype(np.float32)
+    y = op(jnp.asarray(x), interpret=True)
+    gold = csr.spmv_gold(x)
+    assert compare_results(np.asarray(y), gold,
+                           abs_bound=csr.spmv_abs_bound(x)) is None

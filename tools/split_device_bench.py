@@ -70,6 +70,7 @@ def main():
           f"+{(first_ms - sop.setup_ms)/1e3:.0f} s one-time stage "
           f"compiles; {sop.num_bands} bands, plan {sop.plan.describe()})",
           flush=True)
+    print(f"stage attribution: {sop.stage_ms}", flush=True)
 
     xd = jnp.asarray(x)
     y = sop(xd)
