@@ -36,6 +36,41 @@ def row_ids_from_offsets(row_end_offsets, num_nonzeros: int):
     return jnp.searchsorted(row_end_offsets, j, side="right").astype(jnp.int32)
 
 
+# Above this nnz count the scatter-add behind jax.ops.segment_sum is
+# replaced by the sorted-segment cumsum-difference form: the 57M-nnz
+# wb-edu-class timing reproducibly killed the TPU worker through the
+# scatter path (round 4), and a scatter of tens of millions of elements
+# is the one shape XLA:TPU handles worst even when it survives.
+_SCATTER_NNZ_CAP = 1 << 22
+
+
+def _sorted_segment_sum(products, row_end_offsets):
+    """Segment sum over SORTED segment ids given CSR row-end offsets,
+    scatter-free: block-local fp32 cumsums + a small block-prefix scan,
+    then one gather at the row ends and a first-difference.
+
+    y[r] = S(end[r]-1) - S(end[r-1]-1) where S is the inclusive running
+    prefix.  This is the same prefix-difference math the merge kernel
+    uses (and the reference's scan-based fixup,
+    agent_segment_fixup.cuh:226-341), so its rounding class is the one
+    utils/compare.py's segmented-prefix bound already covers; the
+    block-local form bounds each endpoint's error to ~eps * |block
+    prefix| instead of eps * |global prefix|.
+    """
+    nnz = products.shape[0]
+    B = 1024
+    nb = -(-nnz // B)
+    p2 = jnp.pad(products, (0, nb * B - nnz)).reshape(nb, B)
+    cs = jnp.cumsum(p2, axis=1, dtype=products.dtype)
+    bpref = jnp.pad(jnp.cumsum(cs[:, -1], dtype=products.dtype)[:-1],
+                    (1, 0))
+    s_flat = (cs + bpref[:, None]).reshape(nb * B)
+    ends = row_end_offsets.astype(jnp.int32)
+    e = jnp.take(s_flat, jnp.maximum(ends - 1, 0), axis=0)
+    e = jnp.where(ends > 0, e, jnp.zeros((), products.dtype))
+    return e - jnp.pad(e[:-1], (1, 0))
+
+
 def csrmv_xla(values, row_end_offsets, col_indices, x,
               y_in=None, alpha=1.0, beta=0.0):
     """y = alpha * A @ x + beta * y_in  over CSR arrays.
@@ -43,15 +78,22 @@ def csrmv_xla(values, row_end_offsets, col_indices, x,
     Shapes: values/col_indices [nnz], row_end_offsets [num_rows], x
     [num_cols].  Semantics parity with SpmvGold (cpu_spmv.cpp:257-277):
     duplicate coordinates accumulate, empty rows yield beta*y_in.
+    Small matrices use jax.ops.segment_sum (the independent oracle for
+    the Pallas kernel's differential tests); above _SCATTER_NNZ_CAP the
+    scatter-free sorted-segment form takes over (see its docstring).
     """
     num_rows = row_end_offsets.shape[0]
     nnz = values.shape[0]
     if nnz == 0:
         base = jnp.zeros((num_rows,), dtype=values.dtype)
     else:
-        row_ids = row_ids_from_offsets(row_end_offsets, nnz)
         products = values * jnp.take(x, col_indices, axis=0)
-        base = jax.ops.segment_sum(products, row_ids, num_segments=num_rows)
+        if nnz > _SCATTER_NNZ_CAP:
+            base = _sorted_segment_sum(products, row_end_offsets)
+        else:
+            row_ids = row_ids_from_offsets(row_end_offsets, nnz)
+            base = jax.ops.segment_sum(products, row_ids,
+                                       num_segments=num_rows)
     y = alpha * base
     if y_in is not None:
         y = y + beta * y_in

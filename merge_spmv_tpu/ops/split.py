@@ -498,37 +498,42 @@ def _dev_stages():
         return jnp.searchsorted(ends, jnp.arange(nnz, dtype=jnp.int32),
                                 side="right").astype(jnp.int32)
 
-    @functools.partial(jax.jit, static_argnums=(2, 3))
-    def edges(cols, ends, nnz, q_idx):
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def dist(cols, ends, nnz):
+        """Signed diagonal distances + their min/max (one pass)."""
         d = cols.astype(jnp.int32) - row_ids(ends, nnz)
-        sd = jnp.sort(d)
-        return sd[jnp.asarray(q_idx, dtype=jnp.int32)]
+        return d, jnp.min(d), jnp.max(d)
 
-    @functools.partial(jax.jit, static_argnums=(3, 4))
-    def order(cols, ends, edges_a, nnz, nb):
-        ri = row_ids(ends, nnz)
-        band = jnp.searchsorted(
-            edges_a, cols.astype(jnp.int32) - ri, side="right"
-        ).astype(jnp.int32)
+    @jax.jit
+    def counts_below(d, probes):
+        """#elements < probe, one fused compare-reduce pass — replaces
+        the full device sort (~10 s at 57M) for the quantile edges;
+        a few hundred probes cost tens of milliseconds on the VPU."""
+        return (d[:, None] < probes[None, :]).sum(axis=0, dtype=jnp.int32)
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def order(d, edges_a, nb):
+        band = jnp.searchsorted(edges_a, d, side="right").astype(jnp.int32)
         order_ = jnp.argsort(band, stable=True).astype(jnp.int32)
         seg = jnp.searchsorted(band[order_],
                                jnp.arange(nb, dtype=jnp.int32),
                                side="left")
-        return ri, order_, seg
+        return band, order_, seg
 
-    @functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
-    def stack(cols, vals, ri, order_, seg_t, pads_t, dst_t, m_pad):
+    @functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
+    def stack(cols, vals, band, ends_orig, order_, seg_t, pads_t, dst_t,
+              m_pad):
         nb = len(seg_t) - 1
         total = int(dst_t[-1])
+        m = ends_orig.shape[0]
         cols_s = jnp.take(cols, order_).astype(jnp.int32)
         vals_s = jnp.take(vals, order_)
-        rows_s = jnp.take(ri, order_)
+        ends32 = ends_orig.astype(jnp.int32)
         c_parts, v_parts, e_parts = [], [], []
         for b in range(nb):
             s0, s1, pad = seg_t[b], seg_t[b + 1], pads_t[b]
             cseg = jax.lax.slice(cols_s, (s0,), (s1,))
             vseg = jax.lax.slice(vals_s, (s0,), (s1,))
-            rseg = jax.lax.slice(rows_s, (s0,), (s1,))
             c_parts.append(cseg)
             v_parts.append(vseg)
             if pad:
@@ -536,11 +541,19 @@ def _dev_stages():
                         else jnp.zeros((1,), jnp.int32))
                 c_parts.append(jnp.broadcast_to(last, (pad,)))
                 v_parts.append(jnp.zeros((pad,), vals.dtype))
-            # band row-end offsets: rseg is sorted (stable sort preserved
-            # row-major order), so per-row counts are a searchsorted
-            eb = jnp.searchsorted(
-                rseg, jnp.arange(m_pad, dtype=jnp.int32), side="right"
-            ).astype(jnp.int32) + jnp.int32(dst_t[b])
+            # band row-end offsets by cumsum-difference COUNTING over the
+            # original row order — the per-band searchsorted this
+            # replaces cost ~1 s/band at circuit5M scale (stage
+            # attribution, round 4): per row r, the band-b count is
+            # cs(end[r]-1) - cs(end[r-1]-1) with cs = running count of
+            # band-b elements; int32 cumsum is exact
+            cs = jnp.cumsum((band == b).astype(jnp.int32))
+            at_end = jnp.take(cs, jnp.maximum(ends32 - 1, 0), axis=0)
+            at_end = jnp.where(ends32 > 0, at_end, 0)
+            eb = at_end + jnp.int32(dst_t[b])
+            eb = jnp.concatenate([
+                eb, jnp.full((m_pad - m,), dst_t[b] + (s1 - s0),
+                             jnp.int32)])
             eb = eb.at[m_pad - 1].set(dst_t[b + 1])  # pad nnz on last row
             e_parts.append(eb)
         cols_f = jnp.concatenate(c_parts)
@@ -561,7 +574,8 @@ def _dev_stages():
     tiles = functools.partial(jax.jit, static_argnums=(1, 2))(
         merge_tile_coordinates)
 
-    _DEV_STAGES.update(edges=edges, order=order, stack=stack, tiles=tiles)
+    _DEV_STAGES.update(dist=dist, counts_below=counts_below, order=order,
+                       stack=stack, tiles=tiles)
     return _DEV_STAGES
 
 
@@ -623,14 +637,42 @@ def build_split_operator_device(csr: CsrMatrix, dtype="float32",
         stage_ms[name] = (time.perf_counter() - t_m) * 1e3
         t_m = time.perf_counter()
 
-    # -- stage 1: quantile edges from signed diagonal distances --------- #
-    # quantile positions as host ints: device int32 index math would
-    # overflow at (B-1)*nnz for kron-scale nnz
-    q_idx = tuple(int(b * nnz) // B for b in range(1, B))
-    raw = np.asarray(jax.device_get(
-        stages["edges"](cols_d, ends_d, nnz, q_idx)))
+    # -- stage 1: quantile edges by iterative probe refinement ---------- #
+    # No sort: each round issues one compare-reduce pass counting
+    # elements below ~64 aligned probes per unresolved quantile, and
+    # narrows each quantile's bracket 64x; 1024-column resolution is
+    # reached in <= 3 rounds.  Quantile ranks as host ints (device int32
+    # rank math would overflow at (B-1)*nnz for kron-scale nnz).
+    d_dev, dmin_d, dmax_d = stages["dist"](cols_d, ends_d, nnz)
+    dmin = int(jax.device_get(dmin_d))
+    dmax = int(jax.device_get(dmax_d))
+    targets = [int(b * nnz) // B for b in range(1, B)]
+    lo = np.full(len(targets), dmin - 1, np.int64)      # count_below(lo) <= t
+    hi = np.full(len(targets), dmax + 1, np.int64)      # count_below(hi) > t
+    while True:
+        probe_sets = []
+        for k in range(len(targets)):
+            width = hi[k] - lo[k]
+            if width <= 1024:
+                continue
+            step = max(1024, (-(-width // 64) + 1023) // 1024 * 1024)
+            probe_sets.append(np.arange(lo[k] + step, hi[k], step,
+                                        dtype=np.int64))
+        if not probe_sets:
+            break
+        probes = np.unique(np.concatenate(probe_sets)).astype(np.int32)
+        cnts = np.asarray(jax.device_get(
+            stages["counts_below"](d_dev, jnp.asarray(probes))), np.int64)
+        for k, t_ in enumerate(targets):
+            # tightest probe bracket around rank t_
+            below = probes[cnts <= t_]
+            above = probes[cnts > t_]
+            if below.size:
+                lo[k] = max(lo[k], int(below[-1]))
+            if above.size:
+                hi[k] = min(hi[k], int(above[0]))
+    edges = np.unique((np.round(hi / 1024.0) * 1024).astype(np.int32))
     _mark("edges")
-    edges = np.unique((np.round(raw / 1024.0) * 1024).astype(np.int32))
     nb = len(edges) + 1
     if nb == 1:
         from merge_spmv_tpu.ops.operator import build_operator
@@ -639,11 +681,11 @@ def build_split_operator_device(csr: CsrMatrix, dtype="float32",
             base, 1, m, m, [nnz], (time.perf_counter() - t_start) * 1e3)
 
     # -- stage 2: stable sort by band, segment boundaries --------------- #
-    ri_d, order_d, seg_d = stages["order"](cols_d, ends_d,
-                                           jnp.asarray(edges), nnz, nb)
+    band_d, order_d, seg_d = stages["order"](d_dev, jnp.asarray(edges), nb)
     seg = np.concatenate([np.asarray(jax.device_get(seg_d), np.int64),
                           [nnz]])
     jax.block_until_ready(order_d)
+    del d_dev
     _mark("order")
     counts = np.diff(seg)
 
@@ -660,10 +702,11 @@ def build_split_operator_device(csr: CsrMatrix, dtype="float32",
     dst_t = tuple(int(d_) for d_ in dst)
     pads_t = tuple(int(p) for p in pads)
     cols_f, vals_f, ends_f, bmin_d, bmax_d, rspan_d = stages["stack"](
-        cols_d, vals_d, ri_d, order_d, seg_t, pads_t, dst_t, m_pad)
+        cols_d, vals_d, band_d, ends_d, order_d, seg_t, pads_t, dst_t,
+        m_pad)
     jax.block_until_ready(ends_f)
     _mark("stack")
-    del cols_d, vals_d, ri_d, order_d
+    del cols_d, vals_d, band_d, order_d
 
     tile_x, tile_y = stages["tiles"](ends_f, total, tile_items)
     tile_rows = np.asarray(jax.device_get(tile_x), np.int64)

@@ -113,3 +113,34 @@ def test_bf16_operator_end_to_end():
         np.ones(csr.num_cols, np.float32))
     # integer-valued stencil sums are exactly representable in bf16
     assert np.max(np.abs(np.asarray(y, np.float32) - gold)) == 0.0
+
+
+def test_sorted_segment_sum_matches_segment_sum():
+    """The scatter-free large-nnz path must agree with the scatter form
+    (and gold) on skewed rows, empty rows, and a non-1024-multiple nnz."""
+    import jax.numpy as jnp
+
+    from merge_spmv_tpu.formats.coo import CooMatrix
+    from merge_spmv_tpu.formats.csr import CsrMatrix
+    from merge_spmv_tpu.ops.csrmv_xla import _sorted_segment_sum
+    from merge_spmv_tpu.utils.compare import compare_results
+
+    rs = np.random.RandomState(9)
+    n = 3000
+    raw = rs.pareto(1.3, n) + 1.0
+    deg = np.maximum(0, (raw * (12 * n / raw.sum())).astype(np.int64))
+    deg[::7] = 0   # empty rows
+    rows = np.repeat(np.arange(n, dtype=np.int64), deg)
+    cols = rs.randint(0, n, rows.size)
+    vals = rs.uniform(-1, 1, rows.size)
+    csr = CsrMatrix.from_coo(CooMatrix(n, n, rows, cols, vals)
+                             ).astype(np.float32)
+    x = rs.uniform(-1, 1, n).astype(np.float32)
+    products = csr.values * x[csr.col_indices]
+    got = np.asarray(_sorted_segment_sum(
+        jnp.asarray(products), jnp.asarray(csr.row_offsets[1:]
+                                           ).astype(jnp.int32)))
+    gold = csr.spmv_gold(x)
+    bound = csr.spmv_abs_bound(x)
+    assert got.shape == gold.shape
+    assert compare_results(got, gold, abs_bound=bound) is None
