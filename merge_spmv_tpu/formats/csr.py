@@ -170,7 +170,12 @@ class CsrMatrix:
             # block-local running prefixes, max |.| per block
             cs = np.cumsum(ps.reshape(nb, B), axis=1, dtype=np.float32)
             mb = np.abs(cs).max(axis=1).astype(np.float64)
-            starts = np.minimum(self.row_offsets[:-1] // B, nb - 1)
+            # the start endpoint actually read is S(start - 1), which
+            # lives in block (start-1)//B when a row begins exactly on a
+            # block boundary (ADVICE r4: the unshifted form could miss
+            # the previous block's larger prefix scale for that row class)
+            starts = np.minimum(
+                np.maximum(self.row_offsets[:-1] - 1, 0) // B, nb - 1)
             ends = np.maximum(self.row_offsets[1:] - 1, 0) // B
             prefix_scale = mb[starts] + mb[np.minimum(ends, nb - 1)]
             bound = bound + abs(alpha) * prefix_scale * (32.0 / 4096.0)

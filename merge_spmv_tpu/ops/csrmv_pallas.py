@@ -160,12 +160,17 @@ def _spmv_kernel(
     runtime_skip: bool = False, skip_cb: int = 8, skip_gq: int = 4,
     gather_group: int = 1, rowends_vmem: bool = False,
     cluster_widths: tuple = (), cluster_spans: tuple = (),
+    gather_style: str = "chain",
     debug_skip: str = "",
 ):
     if row_meta_k:
         rowmeta_ref, rest = rest[0], rest[1:]
     else:
         rowmeta_ref = None
+    if gather_style == "stage":
+        rest, xf_s = rest[:-1], rest[-1]
+    else:
+        xf_s = None
     (y_hbm,
      # scratch (input windows are double-buffered: slot = t & 1)
      vals_s, cols_s, rowends_s, ybase_s, ywin_s, ywrite_s, xwin_s,
@@ -291,6 +296,16 @@ def _spmv_kernel(
 
     items_end = sh_n + nloc
 
+    if gather_style == "stage" and meta_mode == "list":
+        # phase 1 of the two-phase gather: fetch EVERY visit's window row
+        # into dense scratch up front.  The fetches are independent
+        # (no consumer in between), so the data-dependent VMEM reads
+        # pipeline at load throughput instead of interleaving with the
+        # serve's compare/select chains.
+        for i in range(BPT * K):
+            s = meta_ref[BPT + i]
+            xf_s[i:i + 1, :] = x_rows(jnp.maximum(s, 0), 1)
+
     def _gather_block(r):
         """xg for 1024-nonzero block r (one (8, 128) register set)."""
         cols_r = cols2[r * SUBLANES:(r + 1) * SUBLANES]
@@ -331,6 +346,8 @@ def _spmv_kernel(
             # Record layout per block: [base_c, rel_{c,0..W_c-1}] per slot
             # (rels kept for layout compatibility; the serve is span-wide).
             recw = len(cluster_widths) + sum(cluster_widths)
+            tree = gather_style == "tree"
+            parts = []
             xg = jnp.zeros((SUBLANES, LANES), jnp.float32)
             off = r * recw
             for c, w_c in enumerate(cluster_widths):
@@ -347,10 +364,55 @@ def _spmv_kernel(
                 for w in range(span_c):
                     src = jnp.broadcast_to(creg[w:w + 1], (SUBLANES, LANES))
                     g = _gather_lanes(src, l_r)
-                    xg = jnp.where(screl == w, g, xg)
+                    if tree:
+                        parts.append(jnp.where(screl == w, g, 0.0))
+                    else:
+                        xg = jnp.where(screl == w, g, xg)
                 off += 1 + w_c
+            if tree:
+                while len(parts) > 1:
+                    nxt = [a + b for a, b in zip(parts[0::2], parts[1::2])]
+                    if len(parts) & 1:
+                        nxt.append(parts[-1])
+                    parts = nxt
+                return parts[0] if parts else xg
             return xg
         if meta_mode == "list":
+            if gather_style == "tree":
+                # masked-add pairwise tree: each visit contributes
+                # independently (where-vs-zero) and the adds associate in
+                # log depth — one extra op per visit buys the scheduler
+                # a dependence-free serve (the chain form serializes K
+                # selects per block)
+                parts = []
+                for k in range(K):
+                    s = meta_ref[BPT + r * K + k]
+                    if "dynfetch" in debug_skip:
+                        row = x_rows(0, 1)
+                    else:
+                        row = x_rows(jnp.maximum(s, 0), 1)
+                    src = jnp.broadcast_to(row, (SUBLANES, LANES))
+                    g = _gather_lanes(src, l_r)
+                    parts.append(jnp.where(sc_r == s, g, 0.0))
+                while len(parts) > 1:
+                    nxt = [a + b for a, b in zip(parts[0::2], parts[1::2])]
+                    if len(parts) & 1:
+                        nxt.append(parts[-1])
+                    parts = nxt
+                return parts[0]
+            if gather_style == "stage":
+                # serve phase of the two-phase form: every visit's window
+                # row was DMA'd/fetched into dense scratch by the tile
+                # prologue, so the read here is a STATIC slice — no
+                # data-dependent VMEM addressing on the serve path
+                xg = jnp.zeros((SUBLANES, LANES), jnp.float32)
+                for k in range(K):
+                    i = r * K + k
+                    row = xf_s[i:i + 1, :]
+                    src = jnp.broadcast_to(row, (SUBLANES, LANES))
+                    g = _gather_lanes(src, l_r)
+                    xg = jnp.where(sc_r == meta_ref[BPT + i], g, xg)
+                return xg
             # static unroll: -1 sentinel visits are no-ops; dynamic
             # loops cost ~60 cycles/iteration
             xg = jnp.zeros((SUBLANES, LANES), jnp.float32)
@@ -933,6 +995,14 @@ def _csrmv_pallas_core_x32(plan: SpmvPlan, values_p, cols_p, rowends_p,
         W = gmeta_width(T, K, G)
     else:
         W = meta_width(T, K)
+    # gather style: "stage" needs the dense per-visit scratch and only
+    # applies to the plain list mode on the monolithic (non-skip) path;
+    # "tree" applies to list and cluster modes; anything else = chain
+    gstyle = plan.gather_style
+    if gstyle == "stage" and (meta_mode != "list" or plan.runtime_skip):
+        gstyle = "chain"
+    if gstyle == "tree" and meta_mode not in ("list", "clist"):
+        gstyle = "chain"
 
     x_packed = _pack_x(x_scaled, num_sub)
 
@@ -944,10 +1014,10 @@ def _csrmv_pallas_core_x32(plan: SpmvPlan, values_p, cols_p, rowends_p,
         # per-tile windows when streaming).  A VMEM-pipelined input with
         # a constant index map is re-fetched EVERY grid step.
         pl.BlockSpec(memory_space=pltpu.HBM),    # x table
-        pl.BlockSpec(memory_space=pltpu.ANY),    # values
-        pl.BlockSpec(memory_space=pltpu.ANY),    # col indices
-        pl.BlockSpec(memory_space=pltpu.ANY),    # row end offsets
-        pl.BlockSpec(memory_space=pltpu.ANY),    # y base (beta*y_in)
+        pl.BlockSpec(memory_space=pl.ANY),    # values
+        pl.BlockSpec(memory_space=pl.ANY),    # col indices
+        pl.BlockSpec(memory_space=pl.ANY),    # row end offsets
+        pl.BlockSpec(memory_space=pl.ANY),    # y base (beta*y_in)
         pl.BlockSpec((W,), lambda t, *_: (t,),
                      memory_space=pltpu.SMEM),   # per-tile gather meta
     ]
@@ -960,7 +1030,7 @@ def _csrmv_pallas_core_x32(plan: SpmvPlan, values_p, cols_p, rowends_p,
         num_scalar_prefetch=4,
         grid=(num_tiles,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2 * TE,), jnp.float32),              # values windows
             pltpu.VMEM((2 * TE,), jnp.int32),                # cols windows
@@ -982,7 +1052,8 @@ def _csrmv_pallas_core_x32(plan: SpmvPlan, values_p, cols_p, rowends_p,
             pltpu.SMEM((4,), jnp.float32),   # carry (+ reserved)
             pltpu.SemaphoreType.DMA((5, 2)),
             pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ] + ([pltpu.VMEM((-(-(BPT * K) // 8) * 8, LANES), jnp.float32)]
+             if gstyle == "stage" else []),   # staged per-visit x rows
     )
 
     kernel = functools.partial(
@@ -995,6 +1066,7 @@ def _csrmv_pallas_core_x32(plan: SpmvPlan, values_p, cols_p, rowends_p,
         x_win=plan.x_win, runtime_skip=plan.runtime_skip,
         skip_cb=plan.skip_cb, skip_gq=plan.skip_gq,
         rowends_vmem=plan.rowends_vmem,
+        gather_style=gstyle,
         debug_skip=debug_skip)
 
     if y_base_p is None:

@@ -71,6 +71,23 @@ def _sorted_segment_sum(products, row_end_offsets):
     return e - jnp.pad(e[:-1], (1, 0))
 
 
+def _sorted_segment_sum_2d(products, row_end_offsets):
+    """k-column variant of _sorted_segment_sum for csrmm (products
+    [nnz, k]): identical prefix-difference math per column."""
+    nnz, k = products.shape
+    B = 1024
+    nb = -(-nnz // B)
+    p3 = jnp.pad(products, ((0, nb * B - nnz), (0, 0))).reshape(nb, B, k)
+    cs = jnp.cumsum(p3, axis=1, dtype=products.dtype)
+    bpref = jnp.pad(jnp.cumsum(cs[:, -1, :], axis=0,
+                               dtype=products.dtype)[:-1], ((1, 0), (0, 0)))
+    s_flat = (cs + bpref[:, None, :]).reshape(nb * B, k)
+    ends = row_end_offsets.astype(jnp.int32)
+    e = jnp.take(s_flat, jnp.maximum(ends - 1, 0), axis=0)
+    e = jnp.where((ends > 0)[:, None], e, jnp.zeros((), products.dtype))
+    return e - jnp.pad(e[:-1], ((1, 0), (0, 0)))
+
+
 def csrmv_xla(values, row_end_offsets, col_indices, x,
               y_in=None, alpha=1.0, beta=0.0):
     """y = alpha * A @ x + beta * y_in  over CSR arrays.
@@ -108,10 +125,16 @@ def csrmm_xla(values, row_end_offsets, col_indices, X,
     if nnz == 0:
         base = jnp.zeros((num_rows, X.shape[1]), dtype=values.dtype)
     else:
-        row_ids = row_ids_from_offsets(row_end_offsets, nnz)
         gathered = jnp.take(X, col_indices, axis=0)       # [nnz, k]
         products = gathered * values[:, None]
-        base = jax.ops.segment_sum(products, row_ids, num_segments=num_rows)
+        if nnz > _SCATTER_NNZ_CAP:
+            # same worker-killing scatter shape as csrmv (round-4
+            # wb-edu crash): route through the scatter-free form
+            base = _sorted_segment_sum_2d(products, row_end_offsets)
+        else:
+            row_ids = row_ids_from_offsets(row_end_offsets, nnz)
+            base = jax.ops.segment_sum(products, row_ids,
+                                       num_segments=num_rows)
     Y = alpha * base
     if Y_in is not None:
         Y = Y + beta * Y_in

@@ -149,11 +149,15 @@ class DiaSpmvOperator:
         # separate passes — measured 3-5x the minimal traffic, round 4).
         self._pallas_ok = False
         if self.vtab is not None and jdt == jnp.float32:
-            lpad = self._lpad
-            span = int(max(0, self.offsets.max()) + lpad) + 256
-            xs_bytes = (m + span) * 4
-            self._pallas_ok = (xs_bytes <= 8 * 1024 * 1024
-                               and self.offsets.size <= 16)
+            from merge_spmv_tpu.ops.dia_pallas import dia_pallas_fits
+            # gate on the kernel's FULL working set (staged x at the
+            # padded length + double-buffered vtab and output tiles),
+            # not just the x bytes — D-wide tables on ~2M-column inputs
+            # previously passed an x-only gate and died in Mosaic with
+            # VMEM exhaustion (ADVICE r4, medium)
+            offs = tuple(int(o) for o in self.offsets)
+            self._pallas_ok = (self.offsets.size <= 16
+                               and dia_pallas_fits(m, offs))
         self.setup_ms = (time.perf_counter() - t0) * 1e3
 
     def _dia_matvec(self, xv, interpret: bool = False):

@@ -34,10 +34,49 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["dia_matvec_pallas"]
+__all__ = ["dia_matvec_pallas", "dia_working_set_bytes"]
 
 LANES = 128
 BLOCK = 1024
+# compiler slack on top of the accounted buffers (pipeline bookkeeping,
+# spills); budget = 16 MiB VMEM (plan.VMEM_BYTES_PER_CORE) minus this
+_VMEM_BUDGET = 14 * 1024 * 1024
+
+
+def _pick_R(m, offsets):
+    """Vtab tile rows: 64K default, shrunk for small m AND to keep the
+    full working set (staged x + double-buffered (D, R) vtab tiles +
+    double-buffered output tiles) inside the VMEM budget.  The round-4
+    gate budgeted only the staged x, so a wide table (D near 16) on a
+    ~2M-column matrix passed the gate and failed at Mosaic compile time
+    with VMEM exhaustion (ADVICE r4, medium)."""
+    R = 65536
+    while R > BLOCK and R >= 4 * (m + BLOCK):
+        R //= 2
+    while R > BLOCK and dia_working_set_bytes(m, offsets, R) > _VMEM_BUDGET:
+        R //= 2
+    return R
+
+
+def dia_working_set_bytes(m, offsets, R=None):
+    """VMEM bytes the DIA kernel needs for an m-row matrix with the given
+    diagonal offsets (at tile size R, or the adaptive choice when None).
+    ops/dia.py gates the pallas path on this <= the VMEM budget."""
+    if R is None:
+        R = _pick_R(m, offsets)
+    D = len(offsets)
+    lpad = max(0, -min(offsets))
+    rel_max = max(offsets) + lpad
+    m_pad = -(-m // R) * R
+    need = m_pad + rel_max + 2 * LANES
+    NS = -(-need // LANES)
+    NS = -(-NS // 8) * 8 + 8
+    return NS * LANES * 4 + 2 * D * R * 4 + 2 * R * 4
+
+
+def dia_pallas_fits(m, offsets):
+    """Whether the full DIA kernel working set fits the VMEM budget."""
+    return dia_working_set_bytes(m, offsets) <= _VMEM_BUDGET
 
 
 def _dia_kernel(x2d_ref, vtab_ref, y_ref, xs_s, xsem, *,
@@ -89,9 +128,7 @@ def dia_matvec_pallas(vtab, x, offsets, m, n, interpret=False):
 def _dia_matvec_pallas_x32(vtab, x, offsets, m, n, interpret):
     D = len(offsets)
     assert vtab.shape[0] == D
-    R = 65536
-    while R > BLOCK and R >= 4 * (m + BLOCK):
-        R //= 2
+    R = _pick_R(m, offsets)
     m_pad = -(-m // R) * R
     lpad = max(0, -min(offsets))
     # staged-x layout: xs[k] = x[k - lpad]; diagonal d reads start at

@@ -94,6 +94,12 @@ class SpmvPlan:
                                 # rows once per slot and serves offsets
                                 # 0..span-1 with STATIC sublane slices
                                 # (no per-visit fetch or roll)
+    gather_style: str = "chain"  # visit accumulation: "chain" (overwrite
+                                 # select chain), "tree" (masked-add
+                                 # pairwise tree: +1 op/visit but breaks
+                                 # the serial dependence), "stage" (fetch
+                                 # every visit row into dense scratch
+                                 # first, then serve with static slices)
 
     @property
     def num_merge_items(self) -> int:
@@ -141,6 +147,7 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
               runtime_skip: Optional[bool] = None,
               gather_group: int = 1,
               gather_cluster=None,
+              gather_style: str = "chain",
               scratch: Optional[dict] = None) -> SpmvPlan:
     """Build an execution plan (phase 1 of the two-phase contract).
 
@@ -397,4 +404,5 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
         rowends_vmem=bool(rowends_vmem),
         cluster_widths=tuple(cluster_widths),
         cluster_spans=tuple(cluster_spans),
+        gather_style=str(gather_style),
     )

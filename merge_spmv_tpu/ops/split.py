@@ -506,10 +506,29 @@ def _dev_stages():
 
     @jax.jit
     def counts_below(d, probes):
-        """#elements < probe, one fused compare-reduce pass — replaces
-        the full device sort (~10 s at 57M) for the quantile edges;
-        a few hundred probes cost tens of milliseconds on the VPU."""
-        return (d[:, None] < probes[None, :]).sum(axis=0, dtype=jnp.int32)
+        """#elements < probe, as chunked compare-reduce passes — replaces
+        the full device sort (~10 s at 57M) for the quantile edges; a few
+        hundred probes cost tens of milliseconds on the VPU.  Chunking
+        keeps the (chunk, P) compare bounded even if a backend declines
+        to fuse the broadcast (the full (nnz, P) intermediate would be
+        tens of GB at 57M nnz on the CPU backend; ADVICE r4)."""
+        chunk = 1 << 22
+        nnz = d.shape[0]
+        if nnz <= chunk:
+            return (d[:, None] < probes[None, :]).sum(axis=0,
+                                                      dtype=jnp.int32)
+        nch = -(-nnz // chunk)
+        # pad compares false for every legal probe (probes <= dmax + 1)
+        dpad = jnp.pad(d, (0, nch * chunk - nnz),
+                       constant_values=jnp.int32(2**31 - 1))
+        d3 = dpad.reshape(nch, chunk)
+
+        def body(c, acc):
+            return acc + (d3[c][:, None] < probes[None, :]).sum(
+                axis=0, dtype=jnp.int32)
+
+        return jax.lax.fori_loop(
+            0, nch, body, jnp.zeros((probes.shape[0],), jnp.int32))
 
     @functools.partial(jax.jit, static_argnums=(2,))
     def order(d, edges_a, nb):
@@ -520,27 +539,40 @@ def _dev_stages():
                                side="left")
         return band, order_, seg
 
-    @functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
-    def stack(cols, vals, band, ends_orig, order_, seg_t, pads_t, dst_t,
-              m_pad):
-        nb = len(seg_t) - 1
-        total = int(dst_t[-1])
+    @functools.partial(jax.jit, static_argnums=(8, 9, 10))
+    def stack(cols, vals, band, ends_orig, order_, seg_a, counts_a, dst_a,
+              nb, total, m_pad):
+        """Stacked arrays from DEVICE segment metadata.
+
+        ``seg_a``/``counts_a``/``dst_a`` are device int32 arrays (band
+        start in the sorted order, band nnz, band start in the stacked
+        layout with dst_a[nb] == total); only ``nb``, ``total`` and
+        ``m_pad`` are static, and the caller fixes ``total`` as a
+        function of (nnz, nb, m_pad, tile_items) alone — so repeat
+        conversions of same-shape matrices reuse this compile even when
+        the band counts differ (ADVICE r4: per-matrix static tuples made
+        the heaviest stage recompile on every new matrix)."""
         m = ends_orig.shape[0]
         cols_s = jnp.take(cols, order_).astype(jnp.int32)
         vals_s = jnp.take(vals, order_)
         ends32 = ends_orig.astype(jnp.int32)
-        c_parts, v_parts, e_parts = [], [], []
+        # one vectorized source-index pass replaces the per-band slices:
+        # output j belongs to band b = bucket(dst_a, j); within-band
+        # offset past the band's real nnz clamps to the last element
+        # (cols pad = band's last column, keeping gather windows tight)
+        # with the value zeroed
+        j = jnp.arange(total, dtype=jnp.int32)
+        b_of = (jnp.searchsorted(dst_a, j, side="right") - 1).astype(
+            jnp.int32)
+        o = j - jnp.take(dst_a, b_of)
+        cnt_b = jnp.take(counts_a, b_of)
+        src = jnp.take(seg_a, b_of) + jnp.minimum(
+            o, jnp.maximum(cnt_b - 1, 0))
+        cols_f = jnp.take(cols_s, src)
+        vals_f = jnp.where(o < cnt_b, jnp.take(vals_s, src),
+                           jnp.zeros((), vals.dtype))
+        e_parts = []
         for b in range(nb):
-            s0, s1, pad = seg_t[b], seg_t[b + 1], pads_t[b]
-            cseg = jax.lax.slice(cols_s, (s0,), (s1,))
-            vseg = jax.lax.slice(vals_s, (s0,), (s1,))
-            c_parts.append(cseg)
-            v_parts.append(vseg)
-            if pad:
-                last = (cseg[-1:] if s1 > s0
-                        else jnp.zeros((1,), jnp.int32))
-                c_parts.append(jnp.broadcast_to(last, (pad,)))
-                v_parts.append(jnp.zeros((pad,), vals.dtype))
             # band row-end offsets by cumsum-difference COUNTING over the
             # original row order — the per-band searchsorted this
             # replaces cost ~1 s/band at circuit5M scale (stage
@@ -550,14 +582,12 @@ def _dev_stages():
             cs = jnp.cumsum((band == b).astype(jnp.int32))
             at_end = jnp.take(cs, jnp.maximum(ends32 - 1, 0), axis=0)
             at_end = jnp.where(ends32 > 0, at_end, 0)
-            eb = at_end + jnp.int32(dst_t[b])
+            eb = at_end + dst_a[b]
             eb = jnp.concatenate([
-                eb, jnp.full((m_pad - m,), dst_t[b] + (s1 - s0),
-                             jnp.int32)])
-            eb = eb.at[m_pad - 1].set(dst_t[b + 1])  # pad nnz on last row
+                eb, jnp.broadcast_to(dst_a[b] + counts_a[b],
+                                     (m_pad - m,)).astype(jnp.int32)])
+            eb = eb.at[m_pad - 1].set(dst_a[b + 1])  # pad nnz on last row
             e_parts.append(eb)
-        cols_f = jnp.concatenate(c_parts)
-        vals_f = jnp.concatenate(v_parts)
         ends_f = jnp.concatenate(e_parts).astype(jnp.int32)
         # per-1024-block column window extents (total ≡ 0 mod 1024 by the
         # stack invariant) — packed-table subchunk units (128 cols)
@@ -695,15 +725,25 @@ def build_split_operator_device(csr: CsrMatrix, dtype="float32",
     assert tile_items % 1024 == 0
     pads = (-(m_pad + counts)) % tile_items
     dst = np.concatenate([[0], np.cumsum(counts + pads)]).astype(np.int64)
-    total = int(dst[-1])
+    # STATIC total: a function of (nnz, nb, m_pad, tile_items) only, so
+    # the stack stage's compile is reused across same-shape matrices
+    # regardless of where the band boundaries land (ADVICE r4).  Every
+    # band's stacked nnz is ≡ -m_pad (mod tile_items), so the sum is
+    # ≡ -nb*m_pad; extend the LAST band's pad to the smallest value of
+    # that congruence class that covers the worst-case per-band padding.
+    t0 = nnz + (nb + 1) * tile_items
+    total = t0 - (t0 + nb * m_pad) % tile_items
+    assert total >= int(dst[-1]) and (total - int(dst[-1])) % tile_items == 0
+    pads[-1] += total - int(dst[-1])
+    dst = np.concatenate([[0], np.cumsum(counts + pads)]).astype(np.int64)
 
     # -- stage 3: stacked arrays + plan reductions, all on device ------- #
-    seg_t = tuple(int(s) for s in seg)
-    dst_t = tuple(int(d_) for d_ in dst)
-    pads_t = tuple(int(p) for p in pads)
+    seg_a = jnp.asarray(seg[:-1], jnp.int32)   # band starts (sorted order)
+    counts_a = jnp.asarray(counts, jnp.int32)
+    dst_a = jnp.asarray(dst, jnp.int32)
     cols_f, vals_f, ends_f, bmin_d, bmax_d, rspan_d = stages["stack"](
-        cols_d, vals_d, band_d, ends_d, order_d, seg_t, pads_t, dst_t,
-        m_pad)
+        cols_d, vals_d, band_d, ends_d, order_d, seg_a, counts_a, dst_a,
+        nb, total, m_pad)
     jax.block_until_ready(ends_f)
     _mark("stack")
     del cols_d, vals_d, band_d, order_d

