@@ -100,6 +100,11 @@ class SpmvPlan:
                                  # the serial dependence), "stage" (fetch
                                  # every visit row into dense scratch
                                  # first, then serve with static slices)
+    ds: bool = False           # fused double-single fp64: values and x
+                               # carry (hi, lo) fp32 pairs through ONE
+                               # kernel pass (p = vh*xh + vh*xl + vl*xh)
+                               # instead of three full passes — cols /
+                               # row-ends / metadata stream once
 
     @property
     def num_merge_items(self) -> int:
@@ -147,7 +152,7 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
               runtime_skip: Optional[bool] = None,
               gather_group: int = 1,
               gather_cluster=None,
-              gather_style: str = "chain",
+              gather_style: str = "tree",
               scratch: Optional[dict] = None) -> SpmvPlan:
     """Build an execution plan (phase 1 of the two-phase contract).
 
@@ -250,6 +255,9 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
     meta_gran = 128
     given_x_win = x_win
     x_win = 0
+    # the fused double-single fp64 kernel streams (hi, lo) pairs: x
+    # windows/tables and values windows cost 2x their fp32 footprint
+    dsf = 2 if dname == "float64" else 1
     if not x_in_vmem:
         # x-window streaming (round 2): per-tile column windows of x are
         # DMA'd alongside the other inputs.  The round-1 v5e crash was
@@ -261,7 +269,7 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
             # trust it, subject to the same VMEM budget
             num_sub = 8 * max(1, -(-int(num_cols) // 1024))
             cand = min(int(given_x_win), num_sub)
-            if 2 * cand * 128 * 4 <= vmem_bytes // 3:
+            if dsf * 2 * cand * 128 * 4 <= vmem_bytes // 3:
                 x_win = cand
         elif (allow_x_streaming and col_indices is not None
                 and row_end_offsets is not None):
@@ -276,7 +284,7 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
             # window DMA can never slice past the table.
             num_sub = 8 * max(1, -(-int(num_cols) // 1024))
             cand = min(x_win_sub + 8, num_sub)
-            if 2 * cand * 128 * 4 <= vmem_bytes // 3:
+            if dsf * 2 * cand * 128 * 4 <= vmem_bytes // 3:
                 x_win = cand
         if x_win == 0 and resolved in ("pallas", "pallas_ds"):
             resolved = "xla"   # x neither resident nor windowable
@@ -352,12 +360,18 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
         cm = cluster_meta_np(col_indices, num_nonzeros, num_sub_x,
                              meta=(scratch or {}).get("gmeta"))
         if cm is not None and auto_cluster:
-            # per-block op model: list visit ~8 regops (dynamic fetch +
-            # broadcast + lane-gather + compare + select); cluster slot
-            # ~5.5 (fetch + screl) + 4 per served span offset
-            list_ops = 8.0 * meta_k
-            clu_ops = sum(5.5 + 4.0 * s for s in cm[3])
-            if clu_ops >= list_ops:
+            # per-block cost model, recalibrated from VPU_CEILING.json
+            # (round 5): the dynamic sublane fetch costs ~4.4 ns PER
+            # SUBLANE (a span fetch is as expensive as span 1-row
+            # fetches), and the serve (gather+cmp+sel) ~3 ns per window
+            # — so both modes cost ~7.4 ns x (sublanes touched).  The
+            # cluster mode only wins when its total span is decisively
+            # below the list width (overlapping windows served once);
+            # chip-measured on grid3d100 (spans (5,3,3), K=11): list+tree
+            # 0.493 ms vs cluster 0.508 — equal span, no win.
+            list_ops = 7.4 * meta_k
+            clu_ops = sum(7.4 * sp for sp in cm[3])
+            if clu_ops >= 0.9 * list_ops:
                 cm = None
         if cm is not None:
             cluster_widths = cm[2]
@@ -374,10 +388,10 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
     if (resolved in ("pallas", "pallas_ds") and x_in_vmem and y_in_vmem
             and not x_win):
         num_sub = 8 * max(1, -(-int(num_cols) // 1024))
-        working = (num_sub * 128 * 4          # x table
+        working = (dsf * num_sub * 128 * 4    # x table (hi+lo when ds)
                    + out_len * 4              # y window
                    + out_len * 4              # row-end table
-                   + 2 * (tile_items + 1024) * 8   # values+cols windows
+                   + (1 + dsf) * (tile_items + 1024) * 8  # values+cols wins
                    + ((tile_items + 1024) // 1024) * 4096 * 2  # cs + pref
                    + 2 * r_win * 4)           # row stage scratch
         rowends_vmem = working <= (vmem_bytes * 29) // 32

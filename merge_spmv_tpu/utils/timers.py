@@ -254,33 +254,24 @@ def operator_step_fn(op):
         return step
 
     if getattr(op, "_prep", None) is not None and plan.backend == "pallas_ds":
-        # prepared double-single route: three fp32 passes over the
-        # prepared arrays (ops/operator.py __call__ semantics) — the
-        # generic dispatcher below would re-pad and re-search per call,
-        # charging fp64 timings ~3x the one-time prep cost
-        from merge_spmv_tpu.ops.csrmv_pallas import _prepared_call
-        prep, prep_lo = op._prep, op._prep_lo
+        # prepared FUSED double-single route: one kernel pass over the
+        # (hi, lo) prepared arrays (csrmv_pallas.prepare_csrmv_ds) — the
+        # generic dispatcher below would re-pad and re-search per call
+        from merge_spmv_tpu.ops.csrmv_pallas import _prepared_call_ds
+        prep = op._prep
         p32 = op._plan32
         arrs = (prep.values_p, prep.cols_p, prep.rowends_p,
                 prep.tile_rows, prep.tile_nnz, prep.cbase,
-                prep.tile_flags, prep.meta, prep_lo.values_p)
+                prep.tile_flags, prep.meta)
         rowmeta = prep.rowmeta
 
         @jax.jit
         def _step_ds(xc, *a):
-            rm = a[9] if len(a) > 9 else None
-            one = jnp.float32(1.0)
-            x_hi = xc.astype(jnp.float32)
-            x_lo = (xc - x_hi.astype(xc.dtype)).astype(jnp.float32)
-            y = _prepared_call(p32, *a[:8], x_hi, None, one, one, rm,
-                               meta_is_list=prep.meta_is_list,
-                               alpha_one=True, interpret=False)
-            y = _prepared_call(p32, *a[:8], x_lo, y, one, one, rm,
-                               meta_is_list=prep.meta_is_list,
-                               alpha_one=True, interpret=False)
-            y = _prepared_call(p32, a[8], *a[1:8], x_hi, y, one, one, rm,
-                               meta_is_list=prep.meta_is_list,
-                               alpha_one=True, interpret=False)
+            rm = a[8] if len(a) > 8 else None
+            one = jnp.asarray(1.0, xc.dtype)
+            y = _prepared_call_ds(p32, *a[:8], xc, None, one, one, rm,
+                                  meta_is_list=prep.meta_is_list,
+                                  interpret=False)
             y = y.astype(xc.dtype)
             if plan.num_rows >= ncols:
                 return xc + y[:ncols] * 1e-20

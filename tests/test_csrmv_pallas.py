@@ -448,3 +448,57 @@ def test_gather_cluster_mm_column_loop():
     Y = op.mm(jnp.asarray(X), interpret=INTERPRET)
     assert_allclose_ulp(np.asarray(Y), csr.spmm_gold(X),
                         context="gather_cluster_mm")
+
+
+def test_fused_ds_operator_fine_and_coarse():
+    """FUSED double-single fp64 (one kernel pass over (hi, lo) pairs,
+    csrmv_pallas.prepare_csrmv_ds) vs gold at the reference's fp64
+    verification level (fp32 ULP, utils.h:726-728) — both gather
+    granularities (the round-5 coarse-list tree bug was invisible to a
+    fine-only test)."""
+    from merge_spmv_tpu.ops.operator import build_operator
+    from merge_spmv_tpu.utils.compare import compare_results
+
+    with jax.enable_x64(True):
+        rs = np.random.RandomState(11)
+        # fine-gran banded + coarse-gran (wider normal offsets)
+        for name, sigma in (("fine", 40.0), ("coarse", 400.0)):
+            n, deg = 4000, 8
+            rows = np.repeat(np.arange(n, dtype=np.int64), deg)
+            cols = np.clip(rows + rs.normal(0, sigma, rows.size
+                                            ).astype(np.int64), 0, n - 1)
+            vals = rs.uniform(-1.0, 1.0, rows.size)
+            csr = CsrMatrix.from_coo(CooMatrix(n, n, rows, cols, vals))
+            x = rs.uniform(0.5, 1.5, n)
+            op = build_operator(csr, dtype="float64", tile_items=8192,
+                                backend="pallas_ds")
+            assert op.plan.backend == "pallas_ds"
+            assert op._plan32.ds
+            y = np.asarray(op(jnp.asarray(x), interpret=INTERPRET))
+            assert y.dtype == np.float64
+            err = compare_results(y, csr.spmv_gold(x), verbose=True,
+                                  abs_bound=csr.spmv_abs_bound(x))
+            assert err is None, f"{name}: mismatch at {err}"
+
+
+def test_gather_style_tree_and_stage_match_chain():
+    """The tree / stage accumulation styles are bit-identical refactors
+    of the chain serve (each element matches exactly one window)."""
+    import dataclasses
+
+    from merge_spmv_tpu.ops.operator import build_operator
+
+    csr = CsrMatrix.from_coo(CASES["powerlaw"]()).astype(np.float32)
+    rs = np.random.RandomState(5)
+    csr.values = rs.uniform(0.1, 1, csr.num_nonzeros).astype(np.float32)
+    x = rs.uniform(0.1, 1, csr.num_cols).astype(np.float32)
+    op = build_operator(csr, dtype="float32", tile_items=2048,
+                        gather_cluster=False)
+    from merge_spmv_tpu.ops.csrmv_pallas import csrmv_pallas_prepared
+    outs = {}
+    for style in ("chain", "tree", "stage"):
+        p2 = dataclasses.replace(op.plan, gather_style=style)
+        outs[style] = np.asarray(csrmv_pallas_prepared(
+            p2, op._prep, jnp.asarray(x), interpret=INTERPRET))
+    np.testing.assert_array_equal(outs["chain"], outs["tree"])
+    np.testing.assert_array_equal(outs["chain"], outs["stage"])

@@ -157,6 +157,44 @@ def main():
     if "dynfetch" in which:
         res["dynfetch"] = run_variant("dynfetch", plan, prep,
                                       skip="dynfetch")
+    def build_op(**kw):
+        from merge_spmv_tpu.ops.operator import build_operator
+        op = build_operator(csr, dtype="float32", **kw)
+        return op.plan, op._prep
+
+    for v in list(which):
+        # glist<G> / gtree<G>: grouped union window lists — ONE dynamic
+        # fetch per union visit serves G consecutive blocks.  The
+        # VPU_CEILING probe measured dynamic sublane fetches at ~12x a
+        # static access, so cutting fetched sublanes per block from K to
+        # ~K_G/G is the predicted win.
+        if v.startswith("glist") or v.startswith("gtree"):
+            G = int(v[5:])
+            try:
+                planG, prepG = build_op(gather_group=G, gather_cluster=False)
+                if planG.gather_group != G:
+                    print(f"{v}: plan demoted gather_group to "
+                          f"{planG.gather_group}", flush=True)
+                    continue
+                if v.startswith("gtree"):
+                    planG = dataclasses.replace(planG, gather_style="tree")
+                print(f"{v}: union K_G = {planG.meta_k}", flush=True)
+                res[v] = run_variant(v, planG, prepG, verify=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"{v}: failed ({str(e)[:160]})", flush=True)
+    if "tree" in which:
+        plan_t = dataclasses.replace(plan, gather_style="tree")
+        res["tree"] = run_variant("tree", plan_t, prep, verify=True)
+    if "stage" in which:
+        plan_g = dataclasses.replace(plan, gather_style="stage")
+        res["stage"] = run_variant("stage", plan_g, prep, verify=True)
+    if "ctree" in which:
+        try:
+            planc2, prepc2 = build(cluster=True)
+            planct = dataclasses.replace(planc2, gather_style="tree")
+            res["ctree"] = run_variant("ctree", planct, prepc2, verify=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"ctree: failed ({str(e)[:160]})", flush=True)
     if "cluster" in which:
         try:
             planc, prepc = build(cluster=True)

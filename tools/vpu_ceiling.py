@@ -52,8 +52,8 @@ def build_kernels():
 
             @pl.when(t == 0)
             def _():
-                table_s[...] = jnp.broadcast_to(
-                    x_ref[0:8, :], (TABLE_ROWS, 128)) * 1e-9
+                table_s[...] = jnp.tile(
+                    x_ref[0:8, :], (TABLE_ROWS // 8, 1)) * 1e-9
                 acc_s[...] = jnp.zeros((CHAINS, 8, 128), jnp.float32)
 
             accs = [acc_s[c] for c in range(CHAINS)]
