@@ -295,8 +295,14 @@ def distributed_csrmv_fn(mesh, part: MergePartition, axis: str = "shards",
             if split_halo:
                 # interior kernel sees zeros in the halo lanes: it has NO
                 # dependency on the ppermutes, so the halo exchange can be
-                # scheduled under it (latency hiding on real meshes)
-                xb = x[0]
+                # scheduled under it (latency hiding on real meshes).
+                # The optimization barrier stops XLA from multi-output-
+                # fusing this zero-padded build with the halo concat
+                # (they share xb) — that fusion made the kernel's packed
+                # x table transitively depend on collective-permute-done,
+                # serializing the exchange BEFORE the kernel in the
+                # round-5 v5e:2x4 AOT schedule (HALO_OVERLAP.json).
+                xb = jax.lax.optimization_barrier(x[0])
                 zh = jnp.zeros((H,), xb.dtype)
                 x_loc = jnp.concatenate([zh, xb, zh])
             else:

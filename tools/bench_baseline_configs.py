@@ -264,8 +264,19 @@ def main():
         "cant", "webbase_pair", "spmm", "cage15", "kron"]
     force = "--force" in sys.argv
     results = {}
-    if os.path.exists(OUT) and not force:
+    if os.path.exists(OUT):
         results = json.load(open(OUT))
+    if force:
+        # drop only the REQUESTED configs' entries (a bare --force used
+        # to start from {} and silently discard every other config's
+        # measurement on save)
+        prefixes = {"cant": ("cant_class",), "cage15": ("cage15_class",),
+                    "webbase_pair": ("webbase", "wb_edu"),
+                    "spmm": ("spmm_",), "kron": ("kron",)}
+        for w in want:
+            for k in list(results):
+                if any(k.startswith(p) for p in prefixes.get(w, ())):
+                    del results[k]
 
     def save():
         with open(OUT, "w") as f:
