@@ -463,6 +463,45 @@ def _spmv_kernel(
             for k in range(K):
                 xg = visit(meta_ref[BPT + r * K + k], xg)
             return xg
+        if meta_mode == "dlist":
+            # dynamic distinct-chunk walk: the block's DISTINCT 1024-col
+            # chunk ids ride in SMEM (pack_tile_meta layout, K = budget)
+            # and the walk runs cnt of them — the range walk below pays
+            # (hi - lo + 1) visits, which one stray global column turns
+            # into the whole table (webbase-class: 977 range visits per
+            # block vs ~170 distinct; VERDICT r4 weak #4 / next #9).
+            cntd = meta_ref[r]
+            WU_D = 8
+            treed = gather_style == "tree"
+            zero_d = jnp.zeros((SUBLANES, LANES), jnp.float32)
+
+            def dbody(g, acc):
+                k0 = g * WU_D
+                parts = []
+                for u in range(WU_D):
+                    k = k0 + u
+                    kvalid = k < cntd
+                    kk = jnp.minimum(k, jnp.maximum(cntd - 1, 0))
+                    c = jnp.maximum(meta_ref[BPT + r * K + kk], 0)
+                    chunkx = x_rows(c * SUBLANES, SUBLANES, lohalf)
+                    c8 = jnp.where(kvalid, c * SUBLANES, -(2 ** 20))
+                    if treed:
+                        parts.append(_cs_chunk_visit(chunkx, l_r, sc_r,
+                                                     c8, zero_d))
+                    else:
+                        acc = _cs_chunk_visit(chunkx, l_r, sc_r, c8, acc)
+                if treed:
+                    while len(parts) > 1:
+                        nxt = [a + b for a, b in zip(parts[0::2],
+                                                     parts[1::2])]
+                        if len(parts) & 1:
+                            nxt.append(parts[-1])
+                        parts = nxt
+                    acc = acc + parts[0]
+                return acc
+
+            return jax.lax.fori_loop(
+                0, (cntd + WU_D - 1) // WU_D, dbody, zero_d)
         # range walk, unrolled by WALK_UNROLL: scattered matrices visit
         # O(100) chunks per block, and the raw fori paid ~60 cycles of
         # loop overhead per ~16-cycle visit (the round-2 circuit5M-class
@@ -1062,6 +1101,8 @@ def _csrmv_pallas_core_x32(plan: SpmvPlan, values_p, cols_p, rowends_p,
     # are incompatible)
     K = max(1, plan.meta_k) if meta_is_list else 1
     meta_mode = "list" if meta_is_list else "range"
+    if plan.dlist and meta_is_list:
+        meta_mode = "dlist"
     G = plan.gather_group if meta_is_list else 1
     cw = plan.cluster_widths if meta_is_list else ()
     cspans = plan.cluster_spans if meta_is_list else ()
@@ -1087,7 +1128,8 @@ def _csrmv_pallas_core_x32(plan: SpmvPlan, values_p, cols_p, rowends_p,
     if gstyle == "stage" and (meta_mode != "list" or plan.runtime_skip
                               or plan.ds):
         gstyle = "chain"
-    if gstyle == "tree" and meta_mode not in ("list", "clist", "glist"):
+    if gstyle == "tree" and meta_mode not in ("list", "clist", "glist",
+                                              "dlist"):
         gstyle = "chain"
 
     if plan.ds:

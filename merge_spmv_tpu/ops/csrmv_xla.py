@@ -44,48 +44,95 @@ def row_ids_from_offsets(row_end_offsets, num_nonzeros: int):
 _SCATTER_NNZ_CAP = 1 << 22
 
 
+def _twofloat_exclusive_scan(x, axis=0):
+    """Compensated (hi, lo) exclusive prefix scan: each prefix carries a
+    residual term, so DIFFERENCES of two prefixes recover the true range
+    sum to ~eps * |range sum| instead of ~eps * |global prefix| — the
+    plain fp32 cumsum quantized every endpoint at ULP(|running prefix|)
+    (~5e-4 at wb-edu scale), failing verification for small rows that
+    straddle block boundaries (round-5 chip finding)."""
+
+    def two_add(a, b):
+        ah, al = a
+        bh, bl = b
+        s = ah + bh
+        bp = s - ah                     # Knuth TwoSum residual
+        err = (ah - (s - bp)) + (bh - bp)
+        return s, al + bl + err
+
+    zeros = jnp.zeros_like(x)
+    hi, lo = jax.lax.associative_scan(two_add, (x, zeros), axis=axis)
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (1, 0)
+    sl = [slice(None)] * x.ndim
+    sl[axis] = slice(None, -1)
+    return (jnp.pad(hi[tuple(sl)], pad), jnp.pad(lo[tuple(sl)], pad))
+
+
 def _sorted_segment_sum(products, row_end_offsets):
     """Segment sum over SORTED segment ids given CSR row-end offsets,
-    scatter-free: block-local fp32 cumsums + a small block-prefix scan,
-    then one gather at the row ends and a first-difference.
+    scatter-free: block-local fp32 cumsums + a compensated (hi, lo)
+    block-prefix scan, then endpoint gathers and a first-difference.
 
-    y[r] = S(end[r]-1) - S(end[r-1]-1) where S is the inclusive running
-    prefix.  This is the same prefix-difference math the merge kernel
-    uses (and the reference's scan-based fixup,
-    agent_segment_fixup.cuh:226-341), so its rounding class is the one
-    utils/compare.py's segmented-prefix bound already covers; the
-    block-local form bounds each endpoint's error to ~eps * |block
-    prefix| instead of eps * |global prefix|.
+    y[r] = S(end[r]-1) - S(end[r-1]-1) with the endpoint kept as the
+    TRIPLE (block-local cs, prefix hi, prefix lo) until the difference —
+    summing the parts first would re-quantize at ULP(|global prefix|).
+    Rounding class after the fix: ~eps * |block-local prefix| per
+    endpoint, which utils/compare.py's segmented-prefix bound covers
+    (same class as the merge kernel's tile-local prefixes).
     """
     nnz = products.shape[0]
     B = 1024
     nb = -(-nnz // B)
     p2 = jnp.pad(products, (0, nb * B - nnz)).reshape(nb, B)
     cs = jnp.cumsum(p2, axis=1, dtype=products.dtype)
-    bpref = jnp.pad(jnp.cumsum(cs[:, -1], dtype=products.dtype)[:-1],
-                    (1, 0))
-    s_flat = (cs + bpref[:, None]).reshape(nb * B)
+    bh, bl = _twofloat_exclusive_scan(cs[:, -1])
+    cs_flat = cs.reshape(nb * B)
     ends = row_end_offsets.astype(jnp.int32)
-    e = jnp.take(s_flat, jnp.maximum(ends - 1, 0), axis=0)
-    e = jnp.where(ends > 0, e, jnp.zeros((), products.dtype))
-    return e - jnp.pad(e[:-1], (1, 0))
+    prev = jnp.pad(ends[:-1], (1, 0))
+
+    def endpoint(p):
+        """(cs, bh, bl) at inclusive position p-1; S(-1) = (0, 0, 0)."""
+        valid = p > 0
+        pos = jnp.maximum(p - 1, 0)
+        z = jnp.zeros((), products.dtype)
+        c = jnp.where(valid, jnp.take(cs_flat, pos, axis=0), z)
+        b = pos // B
+        h = jnp.where(valid, jnp.take(bh, b, axis=0), z)
+        lo_ = jnp.where(valid, jnp.take(bl, b, axis=0), z)
+        return c, h, lo_
+
+    ce, he, le = endpoint(ends)
+    cs_, hs, ls = endpoint(prev)
+    return (ce - cs_) + ((he - hs) + (le - ls))
 
 
 def _sorted_segment_sum_2d(products, row_end_offsets):
     """k-column variant of _sorted_segment_sum for csrmm (products
-    [nnz, k]): identical prefix-difference math per column."""
+    [nnz, k]): identical compensated prefix-difference math per column."""
     nnz, k = products.shape
     B = 1024
     nb = -(-nnz // B)
     p3 = jnp.pad(products, ((0, nb * B - nnz), (0, 0))).reshape(nb, B, k)
     cs = jnp.cumsum(p3, axis=1, dtype=products.dtype)
-    bpref = jnp.pad(jnp.cumsum(cs[:, -1, :], axis=0,
-                               dtype=products.dtype)[:-1], ((1, 0), (0, 0)))
-    s_flat = (cs + bpref[:, None, :]).reshape(nb * B, k)
+    bh, bl = _twofloat_exclusive_scan(cs[:, -1, :], axis=0)   # (nb, k)
+    cs_flat = cs.reshape(nb * B, k)
     ends = row_end_offsets.astype(jnp.int32)
-    e = jnp.take(s_flat, jnp.maximum(ends - 1, 0), axis=0)
-    e = jnp.where((ends > 0)[:, None], e, jnp.zeros((), products.dtype))
-    return e - jnp.pad(e[:-1], ((1, 0), (0, 0)))
+    prev = jnp.pad(ends[:-1], (1, 0))
+
+    def endpoint(p):
+        valid = (p > 0)[:, None]
+        pos = jnp.maximum(p - 1, 0)
+        z = jnp.zeros((), products.dtype)
+        c = jnp.where(valid, jnp.take(cs_flat, pos, axis=0), z)
+        b = pos // B
+        h = jnp.where(valid, jnp.take(bh, b, axis=0), z)
+        lo_ = jnp.where(valid, jnp.take(bl, b, axis=0), z)
+        return c, h, lo_
+
+    ce, he, le = endpoint(ends)
+    cs_, hs, ls = endpoint(prev)
+    return (ce - cs_) + ((he - hs) + (le - ls))
 
 
 def csrmv_xla(values, row_end_offsets, col_indices, x,

@@ -38,6 +38,8 @@ _SLOW_TESTS = {
     "test_tile_boundary_exact_row_end",
     "test_gather_cluster_skip_path_matches_gold",
     "test_gather_group_streamed_x",
+    "test_dlist_mode_vs_gold",
+    "test_fused_ds_operator_fine_and_coarse",
 }
 
 

@@ -493,7 +493,7 @@ def test_gather_style_tree_and_stage_match_chain():
     csr.values = rs.uniform(0.1, 1, csr.num_nonzeros).astype(np.float32)
     x = rs.uniform(0.1, 1, csr.num_cols).astype(np.float32)
     op = build_operator(csr, dtype="float32", tile_items=2048,
-                        gather_cluster=False)
+                        gather_cluster=False, backend="pallas")
     from merge_spmv_tpu.ops.csrmv_pallas import csrmv_pallas_prepared
     outs = {}
     for style in ("chain", "tree", "stage"):
@@ -502,3 +502,30 @@ def test_gather_style_tree_and_stage_match_chain():
             p2, op._prep, jnp.asarray(x), interpret=INTERPRET))
     np.testing.assert_array_equal(outs["chain"], outs["tree"])
     np.testing.assert_array_equal(outs["chain"], outs["stage"])
+
+
+def test_dlist_mode_vs_gold():
+    """Dynamic distinct-chunk gather lists (plan.dlist): strays that
+    blow the [lo, hi] range walk to the whole table must not change
+    correctness; the walk runs cnt DISTINCT SMEM-listed chunks."""
+    from merge_spmv_tpu.ops.operator import build_operator
+    from merge_spmv_tpu.utils.compare import compare_results
+
+    rs = np.random.RandomState(6)
+    n, deg = 300000, 2
+    rows = np.repeat(np.arange(n, dtype=np.int64), deg)
+    local = rs.random(rows.size) < 0.95
+    cols = np.where(local,
+                    np.clip(rows + rs.randint(-1024, 1024, rows.size),
+                            0, n - 1),
+                    rs.randint(0, n, rows.size))
+    csr = CsrMatrix.from_coo(CooMatrix(n, n, rows, cols,
+                                       rs.uniform(0.1, 1, rows.size))
+                             ).astype(np.float32)
+    op = build_operator(csr, dtype="float32", backend="pallas")
+    assert op.plan.dlist, op.plan.describe()
+    x = rs.uniform(0.1, 1, n).astype(np.float32)
+    y = np.asarray(op(jnp.asarray(x), interpret=INTERPRET))
+    err = compare_results(y, csr.spmv_gold(x), verbose=True,
+                          abs_bound=csr.spmv_abs_bound(x))
+    assert err is None, f"dlist mismatch at {err}"

@@ -144,3 +144,41 @@ def test_sorted_segment_sum_matches_segment_sum():
     bound = csr.spmv_abs_bound(x)
     assert got.shape == gold.shape
     assert compare_results(got, gold, abs_bound=bound) is None
+
+
+def test_sorted_segment_sum_compensated_prefix():
+    """The >cap scatter-free route must not quantize row values at
+    ULP(|global prefix|): signed products drive the running prefix to
+    ~sqrt(nnz) while small rows straddle block boundaries (the round-5
+    wb-edu-class verify failure).  The compensated (hi, lo) block
+    prefix keeps endpoint DIFFERENCES accurate to the block-local
+    class."""
+    import jax.numpy as jnp
+
+    import merge_spmv_tpu.ops.csrmv_xla as cx
+    from merge_spmv_tpu.formats.coo import CooMatrix
+    from merge_spmv_tpu.formats.csr import CsrMatrix
+    from merge_spmv_tpu.utils.compare import compare_results
+
+    rs = np.random.RandomState(3)
+    n, deg = 40000, 8
+    rows = np.repeat(np.arange(n, dtype=np.int64), deg)
+    cols = rs.randint(0, n, rows.size)
+    vals = rs.uniform(-1.0, 1.0, rows.size).astype(np.float32)
+    csr = CsrMatrix.from_coo(CooMatrix(n, n, rows, cols, vals))
+    x = rs.uniform(0.5, 1.5, n).astype(np.float32)
+    gold = csr.spmv_gold(x)
+    bound = csr.spmv_abs_bound(x)
+    v, re_, ci = csr.to_device(dtype=np.float32)
+    old_cap = cx._SCATTER_NNZ_CAP
+    try:
+        cx._SCATTER_NNZ_CAP = 1 << 14   # force the sorted route
+        y = np.asarray(cx.csrmv_xla(v, re_, ci, jnp.asarray(x)))
+        # and the 2D csrmm twin
+        X = rs.uniform(-1, 1, (n, 2)).astype(np.float32)
+        Y = np.asarray(cx.csrmm_xla(v, re_, ci, jnp.asarray(X)))
+    finally:
+        cx._SCATTER_NNZ_CAP = old_cap
+    assert compare_results(y, gold, verbose=True, abs_bound=bound) is None
+    goldm = csr.spmm_gold(X)
+    np.testing.assert_allclose(Y, goldm, rtol=3e-4, atol=3e-4)
