@@ -189,8 +189,25 @@ def _bench_device_backend(backend, csr, x, gold, args, abs_bound=None):
     if backend == "merge" and op.plan.backend == "xla" and not quiet:
         print("(plan fell back to xla) ", end="", flush=True)
     compile_t = Timer().start()
-    y = op(xd, y_in=y_in, alpha=alpha, beta=beta)
-    jax.block_until_ready(y)
+    step0 = None
+    if (backend == "merge" and beta == 0.0 and alpha == 1.0
+            and y_in is None
+            and getattr(op, "_prep", None) is not None
+            and op.plan.backend == "pallas"):
+        # share ONE compiled module between the verify call and every
+        # timing chain (timers.operator_step_fn .chain): per-row remote
+        # compiles were the corpus sweep's dominant cost (round 5)
+        from merge_spmv_tpu.utils.timers import operator_step_fn
+        cand = operator_step_fn(op)
+        ch = getattr(cand, "chain", None)
+        if ch is not None:
+            out = ch(xd, jnp.int32(1), *cand.args)
+            y = out[1][:csr.num_rows].astype(csr.values.dtype)
+            jax.block_until_ready(y)
+            step0 = cand
+    if step0 is None:
+        y = op(xd, y_in=y_in, alpha=alpha, beta=beta)
+        jax.block_until_ready(y)
     compile_t.stop()
     if not quiet:
         br = getattr(op, "setup_s", None)
@@ -239,7 +256,7 @@ def _bench_device_backend(backend, csr, x, gold, args, abs_bound=None):
                 step = _generic_step(op, csr, jax, jnp)
         else:
             from merge_spmv_tpu.utils.timers import operator_step_fn
-            step = operator_step_fn(op)
+            step = step0 if step0 is not None else operator_step_fn(op)
     else:
         def step(xc):
             # every element of xc depends on yc so no step can be elided

@@ -172,32 +172,46 @@ def ingraph_rate_ms(step_fn, x0, steps: int = 64, reps: int = 5,
 
     raw = getattr(step_fn, "raw", None)
     args = getattr(step_fn, "args", ())
+    chain = getattr(step_fn, "chain", None)
 
-    def compile_chain(n):
-        if raw is not None:
-            fn = jax.jit(lambda x, *a: jax.lax.fori_loop(
-                0, n, lambda i, xc: raw(xc, *a), x))
-        else:
-            fn = jax.jit(lambda x, *a: jax.lax.fori_loop(
-                0, n, lambda i, xc: step_fn(xc), x))
-        np.asarray(jax.device_get(jnp.sum(fn(x0, *args))))   # compile + warm
-        return fn
+    # The chain length rides as a RUNTIME argument (fori_loop lowers to a
+    # While either way), so ONE compile serves the 1-step baseline, the
+    # N-step chain, and every doubling — the per-length compiles were the
+    # dominant cost of a corpus-sweep row (2-3 remote kernel compiles per
+    # matrix on top of the operator build's, round 5).  A step_fn carrying
+    # ``.chain`` (fn(x, n, *args) -> pytree with the chained x as leaf 0)
+    # is used as-is — the driver shares one compiled module between
+    # verification and timing.
+    if chain is not None:
+        fn = chain
+    elif raw is not None:
+        fn = jax.jit(lambda x, n, *a: jax.lax.fori_loop(
+            0, n, lambda i, xc: raw(xc, *a), x))
+    else:
+        fn = jax.jit(lambda x, n, *a: jax.lax.fori_loop(
+            0, n, lambda i, xc: step_fn(xc), x))
 
-    def timed(fn):
+    def run(n):
+        out = fn(x0, jnp.int32(n), *args)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(jax.device_get(leaf[:1]))   # force completion
+        return out
+
+    run(1)   # compile + warm (serves every length)
+
+    def timed(n):
         t0 = _time.perf_counter()
-        np.asarray(jax.device_get(jnp.sum(fn(x0, *args))))
+        run(n)
         return _time.perf_counter() - t0
 
-    fn1 = compile_chain(1)
     while True:
-        fn_n = compile_chain(steps)
         # interleave the two lengths so a congestion burst on the tunnel
         # cannot hit only one of them (consecutive same-length reps are
         # not independent samples)
         one = big = 1e30
         for _ in range(reps):
-            one = min(one, timed(fn1))
-            big = min(big, timed(fn_n))
+            one = min(one, timed(1))
+            big = min(big, timed(steps))
         diff_ms = (big - one) * 1e3
         if diff_ms >= jitter_floor_ms:
             ms = diff_ms / (steps - 1)
@@ -247,10 +261,35 @@ def operator_step_fn(op):
                 return xc + y[:ncols] * 1e-20
             return xc + jnp.pad(y, (0, ncols - plan.num_rows)) * 1e-20
 
+        @jax.jit
+        def _chain(xc, n, *a):
+            # one module serves verification (n=1: y = A@x exactly) and
+            # every timing chain length — the separate verify-call and
+            # per-length chain compiles dominated a corpus-sweep row
+            rm = a[8] if len(a) > 8 else None
+
+            def body(i, c):
+                xcc, _ = c
+                yv = _prepared_call(
+                    p32, *a[:8], xcc, None, jnp.float32(1.0),
+                    jnp.float32(0.0), rm,
+                    meta_is_list=prep.meta_is_list, alpha_one=True,
+                    interpret=False)
+                if plan.num_rows >= ncols:
+                    nxt = xcc + yv[:ncols] * 1e-20
+                else:
+                    nxt = xcc + jnp.pad(yv,
+                                        (0, ncols - plan.num_rows)) * 1e-20
+                return (nxt, yv)
+
+            y0 = jnp.zeros((plan.num_rows,), jnp.float32)
+            return jax.lax.fori_loop(0, n, body, (xc, y0))
+
         if rowmeta is not None:
             arrs = arrs + (rowmeta,)
         step = lambda xc: _step(xc, *arrs)   # noqa: E731
         step.raw, step.args = _step, arrs
+        step.chain = _chain
         return step
 
     if getattr(op, "_prep", None) is not None and plan.backend == "pallas_ds":
