@@ -47,6 +47,7 @@ def main(argv=None):
     ap.add_argument("--out", default=None)
     ap.add_argument("--backends", default="merge")
     ap.add_argument("--timeout", type=int, default=900)
+    ap.add_argument("--tile-items", type=int, default=0, dest="tile_items")
     ap.add_argument("--wait-device", type=int, default=3600,
                     help="max seconds to wait for the device to come "
                          "back before a row (0 disables the preflight)")
@@ -56,6 +57,12 @@ def main(argv=None):
     if not files:
         print(f"no .mtx files under {args.mtx_dir}", file=sys.stderr)
         return 1
+    # stable shuffle (hash of the name): alphabetical order front-loads
+    # whole generator families, so an interrupted sweep would cover one
+    # corner of the CoV/size/locality space instead of a cross-section
+    import hashlib
+    files.sort(key=lambda p: hashlib.md5(
+        os.path.basename(p).encode()).hexdigest())
 
     done = set()
     if args.out and os.path.exists(args.out):
@@ -79,6 +86,11 @@ def main(argv=None):
                f"--backends={args.backends}"]
         if args.fp64:
             cmd.append("--fp64")
+        if args.tile_items:
+            # smaller tiles compile ~4x faster through the remote
+            # service (the per-tile trace is BPT-unrolled); a corpus
+            # sweep is compile-latency-bound per new shape family
+            cmd.append(f"--tile-items={args.tile_items}")
         if args.wait_device:
             import time as _time
             waited = 0
@@ -103,6 +115,8 @@ def main(argv=None):
                     break
             except subprocess.TimeoutExpired:
                 status = "TIMEOUT"
+                break   # a timeout is the matrix, not tunnel flake —
+                        # retrying doubles the burn
         print(f"{name}, {status}", file=out, flush=True)
     if args.out:
         out.close()
