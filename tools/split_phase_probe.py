@@ -65,7 +65,7 @@ def main():
     from merge_spmv_tpu.ops.csrmv_pallas import _prepared_call
     prep = op._prep
     arrs = (prep.values_p, prep.cols_p, prep.rowends_p, prep.tile_rows,
-            prep.tile_nnz, prep.cbase, prep.tile_flags, prep.meta)
+            prep.tile_nnz, prep.cbase, prep.meta, prep.tile_flags)
     if prep.rowmeta is not None:
         arrs = arrs + (prep.rowmeta,)
 
@@ -79,6 +79,9 @@ def main():
                                meta_is_list=prep.meta_is_list,
                                tile_flags=a[7],
                                rowmeta=a[8] if len(a) > 8 else None)
+            # a[6] = meta, a[7] = tile_flags (PreparedCsrmv field order;
+            # swapping them fed the FULL meta array through the
+            # scalar-prefetch slot and blew the 1 MiB SMEM)
             # feed the stacked x the split op builds (band-invariant)
             yk = _prepared_call(
                 plan, p2.values_p, p2.cols_p, p2.rowends_p, p2.tile_rows,
