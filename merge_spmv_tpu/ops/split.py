@@ -44,6 +44,7 @@ from merge_spmv_tpu.formats.csr import CsrMatrix
 
 __all__ = ["split_by_distance", "SplitSpmvOperator", "build_split_operator",
            "build_split_operator_device", "band_assignment", "stack_bands",
+           "stack_bands_compact",
            "popularity_assignment", "HotColdSpmvOperator",
            "build_hotcold_operator"]
 
@@ -185,6 +186,87 @@ def stack_bands(csr: CsrMatrix, band: np.ndarray, nbands: int,
                      cols_s, vals_s), m_pad
 
 
+def stack_bands_compact(csr: CsrMatrix, band: np.ndarray, nbands: int,
+                        row_ids: Optional[np.ndarray] = None,
+                        tile_items: int = 0):
+    """Stack bands with COMPACT per-band rows.
+
+    ``stack_bands`` gives every band the full m_pad virtual rows; the
+    round-5 phase probe measured that row explosion at 45 % of the split
+    multiply (SPLIT_PHASE_PROBE.json: 6.4 of 14.1 ms at quarter-circuit
+    scale — the merge row phase walks nb*m_pad stacked rows).  Here band
+    b keeps only the rows that actually hold a band-b nonzero: stacked
+    row rdst[b]+i is the i-th PRESENT row of band b.  The y epilogue can
+    no longer be a reshape-sum; instead a setup-time permutation sorts
+    the (band, present-row) slots by global row, and each call gathers
+    the stacked y through it and runs a sorted-segment prefix-difference
+    (csrmv_xla._sorted_segment_sum — compensated, so the rounding class
+    is the comparator's documented one).
+
+    Returns (stacked, gather_idx, seg_ends, present_counts):
+    ``gather_idx`` int32 (R_total,) stacked-y positions sorted by global
+    row; ``seg_ends`` int32 (m,) segment ends per global row.  Band
+    alignment invariants match stack_bands (p_pad_b multiple of 1024;
+    p_pad_b + nnz'_b ≡ 0 mod tile_items), so no gather block or merge
+    tile mixes bands.
+    """
+    if row_ids is None:
+        row_ids = _row_ids(csr)
+    m = csr.num_rows
+    assert tile_items and tile_items % 1024 == 0
+    order = np.argsort(band, kind="stable")
+    bcounts = np.bincount(band, minlength=nbands)
+    seg = np.concatenate([[0], np.cumsum(bcounts)])
+    rows_sorted = row_ids[order]
+    cols_sorted = csr.col_indices[order]
+    vals_sorted = csr.values[order]
+    rows_list = []
+    lens_list = []
+    p_pads = []
+    for b in range(nbands):
+        s0, s1 = int(seg[b]), int(seg[b + 1])
+        # rows within a band stay in ascending row-major order (stable)
+        ur, cnts = np.unique(rows_sorted[s0:s1], return_counts=True)
+        rows_list.append(ur.astype(np.int64))
+        lens_list.append(cnts.astype(np.int64))
+        p_pads.append(max(1024, -(-max(len(ur), 1) // 1024) * 1024))
+    nnz_pad = [int((-(p_pads[b] + bcounts[b])) % tile_items)
+               for b in range(nbands)]
+    rdst = np.concatenate([[0], np.cumsum(p_pads)]).astype(np.int64)
+    dst = np.concatenate([[0], np.cumsum(bcounts + np.asarray(nnz_pad))
+                          ]).astype(np.int64)
+    total = int(dst[-1])
+    rows_total = int(rdst[-1])
+    cols_s = np.empty(total, cols_sorted.dtype)
+    vals_s = np.zeros(total, vals_sorted.dtype)
+    row_offsets = np.zeros(rows_total + 1, dtype=np.int64)
+    for b in range(nbands):
+        s0, s1 = int(seg[b]), int(seg[b + 1])
+        d0 = int(dst[b])
+        cols_s[d0:d0 + s1 - s0] = cols_sorted[s0:s1]
+        vals_s[d0:d0 + s1 - s0] = vals_sorted[s0:s1]
+        if nnz_pad[b]:
+            cols_s[d0 + s1 - s0:int(dst[b + 1])] = (
+                cols_sorted[s1 - 1] if s1 > s0 else 0)
+        lens_b = np.zeros(p_pads[b], np.int64)
+        lens_b[:len(lens_list[b])] = lens_list[b]
+        lens_b[p_pads[b] - 1] += nnz_pad[b]
+        row_offsets[1 + rdst[b]:1 + rdst[b + 1]] = lens_b
+    np.cumsum(row_offsets[1:], out=row_offsets[1:])
+    stacked = CsrMatrix(rows_total, csr.num_cols, row_offsets,
+                        cols_s, vals_s)
+    rows_all = (np.concatenate(rows_list) if rows_list
+                else np.zeros(0, np.int64))
+    pos_all = np.concatenate(
+        [rdst[b] + np.arange(len(rows_list[b]), dtype=np.int64)
+         for b in range(nbands)]) if rows_list else np.zeros(0, np.int64)
+    perm = np.argsort(rows_all, kind="stable")
+    gather_idx = pos_all[perm].astype(np.int32)
+    seg_ends = np.cumsum(np.bincount(rows_all, minlength=m)
+                         ).astype(np.int32)
+    return stacked, gather_idx, seg_ends, [len(r) for r in rows_list]
+
+
 def _subset_csr(csr: CsrMatrix, mask: np.ndarray,
                 row_ids: np.ndarray,
                 cols: Optional[np.ndarray] = None,
@@ -232,7 +314,8 @@ class SplitSpmvOperator:
     def __init__(self, csr: CsrMatrix, dtype="float32",
                  edges_chunks: Union[Sequence[int], str] = (8, 32),
                  num_bands: int = 5,
-                 tile_items: Optional[int] = None):
+                 tile_items: Optional[int] = None,
+                 compact_rows: Optional[bool] = None):
         from merge_spmv_tpu.ops.operator import build_operator
 
         from merge_spmv_tpu.ops.plan import make_plan
@@ -249,9 +332,27 @@ class SplitSpmvOperator:
         if tile_items is None:
             tile_items = make_plan(nb * csr.num_rows, csr.num_cols,
                                    csr.num_nonzeros, dtype=dtype).tile_items
-        self.stacked, self._m_pad = stack_bands(csr, band, nb,
-                                                row_ids=row_ids,
-                                                tile_items=tile_items)
+        self._gather_idx = None
+        self._seg_ends = None
+        # compact rows cut the stacked KERNEL 26-31 % (row phase is 45 %
+        # of the multiply, SPLIT_PHASE_PROBE.json) but the re-expansion
+        # epilogue is an ~R_total-element permutation gather with ~1-run
+        # granularity, which XLA's TPU gather serves at ~14.6 ns/elem —
+        # 118 ms at quarter-circuit scale, 9x the kernel saving
+        # (SPLIT_COMPACT.json).  Opt-in only; never auto-chosen.
+        use_compact = bool(compact_rows)
+        if use_compact and nb > 1:
+            import jax.numpy as jnp
+            (self.stacked, gidx, sends, self.band_rows
+             ) = stack_bands_compact(csr, band, nb, row_ids=row_ids,
+                                     tile_items=tile_items)
+            self._m_pad = 0
+            self._gather_idx = jnp.asarray(gidx)
+            self._seg_ends = jnp.asarray(sends)
+        else:
+            self.stacked, self._m_pad = stack_bands(csr, band, nb,
+                                                    row_ids=row_ids,
+                                                    tile_items=tile_items)
         self.op = build_operator(self.stacked, dtype=dtype,
                                  tile_items=tile_items)
         self.plan = self.op.plan
@@ -270,6 +371,8 @@ class SplitSpmvOperator:
         self.num_rows = int(num_rows)
         self.band_nnz = list(band_nnz)
         self.stacked = None   # device-built: no host CsrMatrix exists
+        self._gather_idx = None
+        self._seg_ends = None
         self.setup_ms = float(setup_ms)
         return self
 
@@ -277,8 +380,16 @@ class SplitSpmvOperator:
                  interpret: bool = False):
         import jax.numpy as jnp
         y_v = self.op(x, alpha=alpha, interpret=interpret)
-        y = y_v.reshape(self.num_bands,
-                        self._m_pad)[:, :self.num_rows].sum(axis=0)
+        if self._gather_idx is not None:
+            # compact-row epilogue: gather the stacked y through the
+            # setup-time row-sorted permutation, then one sorted-segment
+            # prefix-difference per global row
+            from merge_spmv_tpu.ops.csrmv_xla import _sorted_segment_sum
+            yv = jnp.take(y_v, self._gather_idx, axis=0)
+            y = _sorted_segment_sum(yv, self._seg_ends)
+        else:
+            y = y_v.reshape(self.num_bands,
+                            self._m_pad)[:, :self.num_rows].sum(axis=0)
         if y_in is not None:
             y = y + jnp.asarray(beta, y.dtype) * y_in
         return y
@@ -288,8 +399,13 @@ class SplitSpmvOperator:
         import jax.numpy as jnp
         Y_v = self.op.mm(X, alpha=alpha, interpret=interpret, method=method)
         k = Y_v.shape[1]
-        Y = Y_v.reshape(self.num_bands, self._m_pad,
-                        k)[:, :self.num_rows].sum(axis=0)
+        if self._gather_idx is not None:
+            from merge_spmv_tpu.ops.csrmv_xla import _sorted_segment_sum_2d
+            Yv = jnp.take(Y_v, self._gather_idx, axis=0)
+            Y = _sorted_segment_sum_2d(Yv, self._seg_ends)
+        else:
+            Y = Y_v.reshape(self.num_bands, self._m_pad,
+                            k)[:, :self.num_rows].sum(axis=0)
         if Y_in is not None:
             Y = Y + jnp.asarray(beta, Y.dtype) * Y_in
         return Y
@@ -469,11 +585,13 @@ def build_hotcold_operator(csr: CsrMatrix, dtype="float32",
 def build_split_operator(csr: CsrMatrix, dtype="float32",
                          edges_chunks: Union[Sequence[int], str] = (8, 32),
                          num_bands: int = 5,
-                         tile_items: Optional[int] = None
+                         tile_items: Optional[int] = None,
+                         compact_rows: Optional[bool] = None
                          ) -> SplitSpmvOperator:
     """Build the banded operator (see module docstring for when)."""
     return SplitSpmvOperator(csr, dtype=dtype, edges_chunks=edges_chunks,
-                             num_bands=num_bands, tile_items=tile_items)
+                             num_bands=num_bands, tile_items=tile_items,
+                             compact_rows=compact_rows)
 
 
 _DEV_STAGES: dict = {}

@@ -366,17 +366,30 @@ def split_operator_step_fn(sop):
     ncols = p32.num_cols
     arrs = [prep.values_p, prep.cols_p, prep.rowends_p, prep.tile_rows,
             prep.tile_nnz, prep.cbase, prep.tile_flags, prep.meta]
-    if prep.rowmeta is not None:
+    has_rm = prep.rowmeta is not None
+    if has_rm:
         arrs.append(prep.rowmeta)
+    gidx = getattr(sop, "_gather_idx", None)
+    if gidx is not None:
+        # compact-row stack: epilogue = row-sorted gather + sorted
+        # segment prefix-difference (ops/split.stack_bands_compact)
+        arrs.append(gidx)
+        arrs.append(sop._seg_ends)
 
     @jax.jit
     def _step(xc, *a):
         y_v = _prepared_call(
             p32, *a[:8], xc, None, jnp.float32(1.0), jnp.float32(0.0),
-            a[8] if len(a) > 8 else None,
+            a[8] if has_rm else None,
             meta_is_list=prep.meta_is_list, alpha_one=True,
             interpret=False)
-        y = y_v.reshape(B, mp)[:, :m].sum(axis=0)
+        if gidx is not None:
+            from merge_spmv_tpu.ops.csrmv_xla import _sorted_segment_sum
+            gi = a[8 + int(has_rm)]
+            se = a[9 + int(has_rm)]
+            y = _sorted_segment_sum(jnp.take(y_v, gi, axis=0), se)
+        else:
+            y = y_v.reshape(B, mp)[:, :m].sum(axis=0)
         if m >= ncols:
             return xc + y[:ncols] * 1e-20
         return xc + jnp.pad(y, (0, ncols - m)) * 1e-20

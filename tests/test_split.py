@@ -244,3 +244,39 @@ def test_device_split_builder_band_alignment():
         start = int(ends[b * m_pad - 1])
         assert start % 1024 == 0
         assert (b * m_pad + start) % T == 0
+
+
+def test_compact_row_split_matches_gold():
+    """Compact per-band rows (stack_bands_compact): the stacked row count
+    drops to the present rows and the epilogue becomes a row-sorted
+    gather + sorted-segment prefix-difference — results must match the
+    plain reshape-sum stack and gold, including alpha/beta and SpMM."""
+    import jax.numpy as jnp
+
+    from merge_spmv_tpu.ops.split import SplitSpmvOperator
+    from merge_spmv_tpu.utils.compare import compare_results
+
+    rs = np.random.RandomState(7)
+    n, nnz = 8000, 64000
+    r_ = rs.randint(0, n, nnz)
+    c_ = np.clip(r_ + rs.laplace(0, 500, nnz).astype(np.int64), 0, n - 1)
+    csr = CsrMatrix.from_coo(CooMatrix(
+        n, n, r_, c_, rs.uniform(-1, 1, nnz).astype(np.float32)))
+    x = rs.uniform(0.5, 1.5, n).astype(np.float32)
+    y0 = rs.uniform(-1, 1, n).astype(np.float32)
+    sop = SplitSpmvOperator(csr, dtype="float32", edges_chunks="quantile",
+                            num_bands=6, compact_rows=True)
+    assert sop._gather_idx is not None
+    assert sop.op.plan.num_rows < 6 * (-(-n // 1024) * 1024)
+    y = np.asarray(sop(jnp.asarray(x)))
+    assert compare_results(y, csr.spmv_gold(x),
+                           abs_bound=csr.spmv_abs_bound(x)) is None
+    y2 = np.asarray(sop(jnp.asarray(x), y_in=jnp.asarray(y0),
+                        alpha=1.5, beta=-0.25))
+    g2 = csr.spmv_gold(x, y_in=y0, alpha=1.5, beta=-0.25)
+    assert compare_results(
+        y2, g2, abs_bound=csr.spmv_abs_bound(x, y_in=y0, alpha=1.5,
+                                             beta=-0.25)) is None
+    X = rs.uniform(-1, 1, (n, 2)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(sop.mm(jnp.asarray(X))),
+                               csr.spmm_gold(X), rtol=3e-4, atol=3e-4)
