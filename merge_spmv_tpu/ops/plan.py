@@ -395,6 +395,13 @@ def make_plan(num_rows: int, num_cols: int, num_nonzeros: int,
                             runtime_skip=runtime_skip,
                             gather_style=gather_style, gather_dlist=True,
                             scratch=scratch)
+            # (A round-5 experiment rerouted extreme global scatter
+            # (range >= 384 chunks/block) to the XLA fallback on the
+            # theory that its element gather beats ~50 ns/visit range
+            # walks; measured on chip it was 3.5x WORSE — XLA's
+            # searchsorted + scatter-add segment sum runs ~167 ns/nnz on
+            # the kron-like class vs the range walk's 47.  The range
+            # walk stays the scatter fallback.)
             meta_k = 0 if meta is None else meta[1].shape[1]
             if scratch is not None and meta is not None:
                 scratch["gmeta"] = meta             # (cnt, lst) unpadded

@@ -108,6 +108,16 @@ def main(argv=None):
                          [r["gflops"] for r in rows])
         r_lin = pearson([r["num_nonzeros"] for r in rows],
                         [r["avg_ms"] for r in rows])
+        # auxiliary: log-space linearity.  The raw Pearson (the paper's
+        # anchor metric) is dominated by the worst few rows when the
+        # per-nnz rate spans orders of magnitude (this corpus includes
+        # global-scatter adversaries at ~650x the banded per-nnz rate —
+        # a spread the K40 never exhibited); the log-log correlation
+        # reads size-scaling across ALL classes on equal footing.
+        r_log = pearson([math.log(r["num_nonzeros"]) for r in rows
+                         if r["avg_ms"] > 0],
+                        [math.log(r["avg_ms"]) for r in rows
+                         if r["avg_ms"] > 0])
         rec = {
             "rows_used": len(rows),
             "rows_skipped": [s[0] for s in skipped],
@@ -115,6 +125,8 @@ def main(argv=None):
                                        else round(r_skew, 3)),
             "corr_runtime_vs_nnz": (None if r_lin is None
                                     else round(r_lin, 3)),
+            "corr_log_runtime_vs_log_nnz": (None if r_log is None
+                                            else round(r_log, 3)),
             "reference": {"gpu_merge_skew": -0.01, "cpu_merge_skew": -0.07,
                           "cusparse_skew": -0.24,
                           "cpu_merge_linearity": 0.97,
@@ -125,6 +137,7 @@ def main(argv=None):
         print(f"{path}: n={rec['rows_used']} "
               f"skew_corr={rec['corr_gflops_vs_row_cov']} "
               f"linearity={rec['corr_runtime_vs_nnz']} "
+              f"log_linearity={rec['corr_log_runtime_vs_log_nnz']} "
               f"skipped={rec['rows_skipped']}")
     if len(paths) == 1:
         dst = os.path.join(os.path.dirname(os.path.abspath(paths[0])),
